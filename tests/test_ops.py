@@ -1,0 +1,212 @@
+"""Tests for core numerics: SLR blur kernels, B-spline resize matrices,
+gaussian importance maps, pixel shuffle, FBA."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rehrseg_tpu.ops import (
+    fwhm_needed, fwhm_units_to_voxel_space, blur_fwhm_in_voxels,
+    parse_kernel, select_kernel, calc_extended_patch_size,
+    blur_axis, blur_axis_np,
+    resize_1d_np, resize_nd_np, resize_1d_jax, resize_matrix, output_size,
+    upsample_axis_linear, compute_gaussian, pixel_shuffle_axis, fba,
+)
+from rehrseg_tpu.ops import slr
+from rehrseg_tpu.ops.bspline import as_fraction
+
+
+# ---------------------------------------------------------------- blur / SLR
+
+def test_fwhm_math():
+    assert fwhm_needed(1.0, 4.0) == pytest.approx(np.sqrt(15.0))
+    assert fwhm_units_to_voxel_space(2.0, 0.5) == 4.0
+    assert blur_fwhm_in_voxels(1.0, 4.0) == pytest.approx(np.sqrt(15.0))
+
+
+def test_parse_kernel_window_and_norm():
+    fwhm = blur_fwhm_in_voxels(1.0, 4.0)  # ~3.873
+    k = parse_kernel(None, "rf-pulse-slr", fwhm)
+    assert k.ndim == 1
+    assert k.shape[0] == int(2 * round(fwhm) + 1)  # == 9
+    assert k.sum() == pytest.approx(1.0, abs=1e-6)
+    assert np.all(k >= -1e-6)
+    # symmetric profile
+    assert np.allclose(k, k[::-1], atol=1e-3)
+
+
+def test_slr_profile_fwhm_accuracy():
+    """Sampled kernel should realize the requested FWHM within ~1 voxel grid."""
+    fwhm = 3.873
+    window = 21  # oversampled window to measure the FWHM finely
+    k = select_kernel(window, "rf-pulse-slr", fwhm)
+    x = np.arange(window) - (window - 1) / 2
+    meas = slr.measure_fwhm(x, k)
+    assert meas == pytest.approx(fwhm, rel=0.15)
+
+
+def test_slr_profile_is_slab_like():
+    """SLR excitation profile: flat-ish top, steep edges, low stopband."""
+    x, prof = slr.slice_profile(n=128, tb=4.0)
+    prof = prof / prof.max()
+    center = prof[np.abs(x) < 0.5]
+    stop = prof[np.abs(x) > 3.5]
+    assert center.min() > 0.9
+    assert stop.max() < 0.05
+
+
+def test_gaussian_kernel_type():
+    k = select_kernel(9, "gaussian", 4.0)
+    sigma = 4.0 / (2 * np.sqrt(2 * np.log(2)))
+    x = np.arange(9) - 4
+    assert np.allclose(k, np.exp(-0.5 * (x / sigma) ** 2))
+
+
+def test_calc_extended_patch_size():
+    k = np.ones(9)
+    ext, crops = calc_extended_patch_size(k, [96, 96, 1])
+    assert ext == [96 + 10, 96 + 10, 1]
+    assert crops == (slice(5, -5), slice(5, -5))
+
+
+def test_blur_axis_jax_matches_np(rng):
+    k = parse_kernel(None, "rf-pulse-slr", 3.873)
+    x = rng.normal(size=(3, 16, 12)).astype(np.float32)
+    out_np = blur_axis_np(x, k, axis=1)
+    out_jax = np.asarray(blur_axis(jnp.asarray(x), k, axis=1))
+    assert out_np.shape == x.shape
+    assert np.allclose(out_np, out_jax, atol=1e-5)
+
+
+def test_blur_axis_preserves_constant_interior():
+    k = parse_kernel(None, "rf-pulse-slr", 3.873)
+    x = np.ones((1, 32, 4), dtype=np.float32)
+    out = blur_axis_np(x, k, axis=1)
+    assert np.allclose(out[:, 8:-8, :], 1.0, atol=1e-5)
+
+
+# ------------------------------------------------------------------- bspline
+
+def test_output_size_round():
+    assert output_size(16, 4.0) == 4
+    assert output_size(16, 0.25) == 64
+    assert output_size(10, 2.5) == 4
+    assert output_size(7, 2.0) == 4  # round(3.5) banker's → 4
+
+
+def test_resize_preserves_constants():
+    x = np.full((24,), 3.25)
+    for dx in (4.0, 0.25, 2.5):
+        for order in (0, 1, 3):
+            out = resize_1d_np(x, dx, axis=0, order=order)
+            assert out.shape[0] == output_size(24, dx)
+            assert np.allclose(out, 3.25, atol=1e-9)
+
+
+def test_resize_matrix_symmetry():
+    """Center-aligned convention: resizing a symmetric signal stays symmetric."""
+    n = 17
+    x = np.exp(-0.5 * ((np.arange(n) - (n - 1) / 2) / 3.0) ** 2)
+    out = resize_1d_np(x, 2.0, axis=0, order=3)
+    assert np.allclose(out, out[::-1], atol=1e-12)
+
+
+def test_resize_down_up_roundtrip_smooth():
+    n = 64
+    t = np.arange(n)
+    x = np.sin(2 * np.pi * t / 32.0)
+    down = resize_1d_np(x, 4.0, axis=0, order=3)
+    up = resize_1d_np(down, 0.25, axis=0, order=3)
+    assert up.shape[0] == n
+    # interior reconstruction accurate for a smooth band-limited signal
+    assert np.allclose(up[8:-8], x[8:-8], atol=0.05)
+
+
+def test_resize_order0_is_nearest():
+    x = np.arange(8, dtype=np.float64)
+    out = resize_1d_np(x, 2.0, axis=0, order=0)
+    # centers-aligned: coords = 3.5 + (j - 1.5)*2 = [0.5, 2.5, 4.5, 6.5]
+    # scipy order-0 rounds halves up → [1, 3, 5, 7]
+    assert out.shape[0] == 4
+    assert set(np.unique(out)).issubset(set(x))
+
+
+def test_resize_nd_trailing_dims(rng):
+    x = rng.normal(size=(3, 2, 16, 12)).astype(np.float64)
+    out = resize_nd_np(x, (4.0, 1.0), order=3)
+    assert out.shape == (3, 2, 4, 12)
+
+
+def test_resize_jax_matches_np(rng):
+    x = rng.normal(size=(2, 16)).astype(np.float32)
+    out_np = resize_1d_np(x.astype(np.float64), 4.0, axis=1, order=3)
+    out_jax = np.asarray(resize_1d_jax(jnp.asarray(x), 4.0, axis=1, order=3))
+    assert np.allclose(out_np, out_jax, atol=1e-5)
+
+
+def test_resize_jax_jittable(rng):
+    x = jnp.asarray(rng.normal(size=(2, 16)).astype(np.float32))
+    f = jax.jit(lambda v: resize_1d_jax(v, 4.0, axis=1, order=3))
+    out = f(x)
+    assert out.shape == (2, 4)
+
+
+def test_fraction_cache_key():
+    assert as_fraction(0.25) == as_fraction(1 / 4)
+    m1 = resize_matrix(16, as_fraction(4.0), 3)
+    m2 = resize_matrix(16, as_fraction(4.0), 3)
+    assert m1 is m2  # lru cached
+
+
+def test_upsample_axis_linear_align_corners(rng):
+    # parity with torch F.interpolate(..., align_corners=True) on a ramp:
+    # linear interp of a linear ramp is exact.
+    n, scale = 5, 4
+    x = jnp.asarray(np.arange(n, dtype=np.float32)[None, :, None])
+    out = np.asarray(upsample_axis_linear(x, scale, axis=1))[0, :, 0]
+    expected = np.linspace(0, n - 1, n * scale)  # align_corners maps ends to ends
+    assert np.allclose(out, expected, atol=1e-6)
+
+
+# ------------------------------------------------------------------ gaussian
+
+def test_compute_gaussian_matches_scipy_reference():
+    from scipy.ndimage import gaussian_filter
+    tile = (8, 12, 10)
+    g = compute_gaussian(tile, 1.0 / 8, 10.0)
+    tmp = np.zeros(tile)
+    tmp[tuple(i // 2 for i in tile)] = 1
+    ref = gaussian_filter(tmp, [i / 8 for i in tile], 0, mode="constant", cval=0)
+    ref = ref / ref.max() * 10.0
+    ref = ref.astype(np.float32)
+    nz = ref[ref != 0]
+    ref[ref == 0] = nz.min()
+    assert np.allclose(g, ref, atol=1e-6)
+    assert g.max() == pytest.approx(10.0)
+    assert g.min() > 0
+
+
+# -------------------------------------------------------------- pixel shuffle
+
+def test_pixel_shuffle_axis_matches_torch_semantics(rng):
+    """Check against the reference's view/permute algebra (wdsr.py:13-20)."""
+    b, nx, ny, c, scale = 2, 4, 3, 2, 4
+    x_nhwc = rng.normal(size=(b, nx, ny, c * scale)).astype(np.float32)
+    out = np.asarray(pixel_shuffle_axis(jnp.asarray(x_nhwc), scale))
+    assert out.shape == (b, nx * scale, ny, c)
+    # torch ordering: channel index = c_out * scale + phase
+    x_nchw = x_nhwc.transpose(0, 3, 1, 2)  # (b, c*scale, nx, ny)
+    v = x_nchw.reshape(b, c, scale, nx, ny)
+    v = v.transpose(0, 1, 3, 2, 4).reshape(b, c, nx * scale, ny)
+    expected = v.transpose(0, 2, 3, 1)
+    assert np.allclose(out, expected)
+
+
+# ----------------------------------------------------------------------- fba
+
+def test_fba_single_image_identity(rng):
+    img = rng.normal(size=(8, 8)).astype(np.float32)
+    out = fba([img], p=2)
+    assert np.allclose(out, img, atol=1e-5)
