@@ -1,0 +1,143 @@
+"""Loss parity tests, with independent torch oracles for CE/BCE formulas."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import torch
+import torch.nn.functional as TF
+
+from rehrseg_tpu.losses import (
+    soft_dice_loss, robust_cross_entropy, dc_and_weighted_ce, build_seg_loss,
+    dice_loss_sigmoid, bce_with_logits, bce_dice_loss,
+    sr_loss, sr_uncertainty_loss, calculate_dice, deep_supervision_weights,
+)
+
+
+def _rand_logits_targets(rng, shape=(2, 4, 8, 8), num_classes=2):
+    logits = rng.normal(size=shape + (num_classes,)).astype(np.float32)
+    target = rng.integers(0, num_classes, size=shape + (1,)).astype(np.float32)
+    return logits, target
+
+
+def test_robust_ce_matches_torch(rng):
+    logits, target = _rand_logits_targets(rng)
+    ours = float(robust_cross_entropy(jnp.asarray(logits), jnp.asarray(target)))
+    lt = torch.from_numpy(logits.transpose(0, 4, 1, 2, 3))
+    tt = torch.from_numpy(target[..., 0]).long()
+    ref = TF.cross_entropy(lt, tt, reduction="none").mean().item()
+    assert ours == pytest.approx(ref, rel=1e-5)
+
+
+def test_robust_ce_uncertainty_weighting(rng):
+    logits, target = _rand_logits_targets(rng)
+    unc = rng.uniform(0.5, 1.0, size=target.shape).astype(np.float32)
+    ours = float(robust_cross_entropy(jnp.asarray(logits), jnp.asarray(target),
+                                      jnp.asarray(unc)))
+    lt = torch.from_numpy(logits.transpose(0, 4, 1, 2, 3))
+    tt = torch.from_numpy(target[..., 0]).long()
+    ref = (TF.cross_entropy(lt, tt, reduction="none")
+           * torch.from_numpy(unc[..., 0])).mean().item()
+    assert ours == pytest.approx(ref, rel=1e-5)
+
+
+def test_soft_dice_perfect_prediction(rng):
+    _, target = _rand_logits_targets(rng)
+    # logits strongly favoring the target class
+    onehot = np.eye(2, dtype=np.float32)[target[..., 0].astype(int)]
+    logits = (onehot * 2 - 1) * 20.0
+    loss = float(soft_dice_loss(jnp.asarray(logits), jnp.asarray(target)))
+    assert loss == pytest.approx(-1.0, abs=1e-3)
+
+
+def test_soft_dice_nnunet_semantics(rng):
+    """Manual formula check: softmax fg channel, per-sample dice, -mean."""
+    logits, target = _rand_logits_targets(rng, shape=(3, 4, 4, 4))
+    probs = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+    fg = probs[..., 1]
+    t = target[..., 0]
+    axes = (1, 2, 3)
+    inter = (fg * t).sum(axes)
+    dc = (2 * inter + 1e-5) / np.clip(fg.sum(axes) + t.sum(axes) + 1e-5, 1e-8, None)
+    expected = -dc.mean()
+    got = float(soft_dice_loss(jnp.asarray(logits), jnp.asarray(target)))
+    assert got == pytest.approx(expected, rel=1e-5)
+
+
+def test_dc_and_weighted_ce_weight_dice_zero(rng):
+    logits, target = _rand_logits_targets(rng)
+    full = float(dc_and_weighted_ce(jnp.asarray(logits), jnp.asarray(target),
+                                    weight_dice=0))
+    ce = float(robust_cross_entropy(jnp.asarray(logits), jnp.asarray(target)))
+    assert full == pytest.approx(ce, rel=1e-6)
+
+
+def test_build_seg_loss_deep_supervision(rng):
+    weights = deep_supervision_weights(4)
+    assert weights[-1] == 0
+    assert weights.sum() == pytest.approx(1.0)
+    loss_fn = build_seg_loss(enable_deep_supervision=True)
+    shapes = [(2, 4, 8, 8), (2, 4, 4, 4), (2, 2, 2, 2), (2, 1, 1, 1)]
+    logits = [jnp.asarray(rng.normal(size=s + (2,)).astype(np.float32)) for s in shapes]
+    targets = [jnp.asarray(rng.integers(0, 2, size=s + (1,)).astype(np.float32))
+               for s in shapes]
+    val = float(loss_fn(logits, targets))
+    assert np.isfinite(val)
+
+
+def test_bce_matches_torch(rng):
+    logits = rng.normal(size=(2, 8, 8, 1)).astype(np.float32)
+    target = rng.integers(0, 2, size=(2, 8, 8, 1)).astype(np.float32)
+    ours = float(bce_with_logits(jnp.asarray(logits), jnp.asarray(target)))
+    ref = TF.binary_cross_entropy_with_logits(
+        torch.from_numpy(logits), torch.from_numpy(target)).item()
+    assert ours == pytest.approx(ref, rel=1e-5)
+
+
+def test_dice_loss_sigmoid_formula(rng):
+    """V-Net style: squared denominator, per-channel over whole batch."""
+    logits = rng.normal(size=(2, 4, 4, 1)).astype(np.float32)
+    target = rng.integers(0, 2, size=(2, 4, 4, 1)).astype(np.float32)
+    p = 1 / (1 + np.exp(-logits))
+    pf, tf_ = p.reshape(-1), target.reshape(-1)
+    dice = 2 * (pf * tf_).sum() / np.clip((pf * pf).sum() + (tf_ * tf_).sum(),
+                                          1e-6, None)
+    expected = 1 - dice
+    got = float(dice_loss_sigmoid(jnp.asarray(logits), jnp.asarray(target)))
+    assert got == pytest.approx(expected, rel=1e-5)
+
+
+def test_bce_dice_combination(rng):
+    logits = rng.normal(size=(2, 4, 4, 1)).astype(np.float32)
+    target = rng.integers(0, 2, size=(2, 4, 4, 1)).astype(np.float32)
+    a = float(bce_dice_loss(jnp.asarray(logits), jnp.asarray(target), 1.0, 1.0))
+    b = float(bce_with_logits(jnp.asarray(logits), jnp.asarray(target)))
+    d = float(dice_loss_sigmoid(jnp.asarray(logits), jnp.asarray(target)))
+    assert a == pytest.approx(b + d, rel=1e-6)
+
+
+def test_sr_loss_components(rng):
+    pred = rng.normal(size=(2, 4, 8, 8, 2)).astype(np.float32)
+    target = rng.normal(size=(2, 4, 8, 8, 2)).astype(np.float32)
+    target[..., 1] = (target[..., 1] > 0).astype(np.float32)
+    v = float(sr_loss(jnp.asarray(pred), jnp.asarray(target)))
+    assert np.isfinite(v) and v > 0
+
+
+def test_sr_uncertainty_loss_grads(rng):
+    pred = jnp.asarray(rng.normal(size=(1, 4, 8, 8, 2)).astype(np.float32))
+    target = jnp.asarray(rng.normal(size=(1, 4, 8, 8, 2)).astype(np.float32))
+    unc = jnp.asarray(rng.uniform(0.2, 0.9, size=(1, 4, 8, 8, 1)).astype(np.float32))
+
+    def f(p, u):
+        return sr_uncertainty_loss(p, u, target)
+    val, grads = jax.value_and_grad(f, argnums=(0, 1))(pred, unc)
+    assert np.isfinite(float(val))
+    assert all(np.isfinite(np.asarray(g)).all() for g in grads)
+
+
+def test_calculate_dice_binary():
+    p = np.array([1, 1, 0, 0], dtype=np.uint8)
+    g = np.array([1, 0, 1, 0], dtype=np.uint8)
+    assert calculate_dice(p, g) == pytest.approx((2 * 1 + 1e-5) / (2 + 2 + 1e-5))
