@@ -1,0 +1,212 @@
+"""Gaussian-weighted sliding-window inference engine (the TPU performance
+centerpiece).
+
+Capability parity with the reference hot loop
+(/root/reference/utils/seg_utils.py:176-287,736-784): tile the volume with
+step = patch * 0.5 (steps evenly redistributed), run the network per tile
+with full 8-way mirror test-time augmentation, accumulate
+``prediction * gaussian`` into a logits buffer plus a weight buffer, divide
+at the end. The HR head rescales the z-dim of every slicer by the slice
+separation (seg_utils.py:273-274).
+
+TPU-first redesign (SURVEY.md §7.6):
+  - the whole tile loop is ONE jitted ``lax.scan`` — no per-tile host round
+    trips (the reference launches each tile from Python);
+  - mirror TTA is a single batched forward of all 8 flip combinations
+    (the reference runs 8 sequential forwards, seg_utils.py:201-227);
+  - accumulation happens in fp32 HBM buffers via dynamic_update_slice inside
+    the scan (the reference uses fp16 buffers and risks inf, which it guards
+    against at seg_utils.py:280-283 — fp32 on TPU is both safer and fast);
+  - tile start coordinates are a traced integer array, so volumes with the
+    same padded shape and tile grid reuse one compiled program.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops.gaussian import compute_gaussian
+from ..utils.pad import target_pad, crop
+
+
+def compute_steps_for_sliding_window(image_size, tile_size, tile_step_size):
+    """Evenly redistributed tile starts per dim (seg_utils.py:176-199)."""
+    assert all(i >= j for i, j in zip(image_size, tile_size)), \
+        "image size must be as large or larger than patch_size"
+    assert 0 < tile_step_size <= 1
+
+    target_step = [i * tile_step_size for i in tile_size]
+    num_steps = [int(np.ceil((i - k) / j)) + 1
+                 for i, j, k in zip(image_size, target_step, tile_size)]
+    steps = []
+    for dim in range(len(tile_size)):
+        max_step_value = image_size[dim] - tile_size[dim]
+        if num_steps[dim] > 1:
+            actual = max_step_value / (num_steps[dim] - 1)
+        else:
+            actual = 1e13
+        steps.append([int(np.round(actual * i)) for i in range(num_steps[dim])])
+    return steps
+
+
+def sliding_window_starts(image_size, patch_size, tile_step_size=0.5) -> np.ndarray:
+    """All (z, y, x) tile start coordinates as an (N, 3) int32 array."""
+    steps = compute_steps_for_sliding_window(image_size, patch_size,
+                                             tile_step_size)
+    starts = [(sx, sy, sz) for sx in steps[0] for sy in steps[1]
+              for sz in steps[2]]
+    return np.asarray(starts, dtype=np.int32)
+
+
+def _flip_axes_combinations(ndim_spatial: int = 3):
+    """Identity + all 2^n - 1 mirror combinations over spatial axes 0..n-1
+    (reference mirror order, seg_utils.py:213-215)."""
+    import itertools
+    combos = [()]
+    for i in range(ndim_spatial):
+        combos.extend(itertools.combinations(range(ndim_spatial), i + 1))
+    return combos
+
+
+def _mirror_batch(tile: jnp.ndarray, combos):
+    """(D, H, W, C) -> (8, D, H, W, C) stacking every flip combination."""
+    return jnp.stack([jnp.flip(tile, axis=c) if c else tile for c in combos])
+
+
+def _unmirror_mean(preds: jnp.ndarray, combos):
+    """Invert each flip and average over the TTA batch."""
+    parts = [jnp.flip(preds[i], axis=c) if c else preds[i]
+             for i, c in enumerate(combos)]
+    return sum(parts) / len(parts)
+
+
+@partial(jax.jit, static_argnames=("model_fn", "patch_size", "out_shape",
+                                   "z_scale", "mirror", "num_classes"))
+def _sliding_window_scan(model_fn: Callable, params, data: jnp.ndarray,
+                         starts: jnp.ndarray, gaussian: jnp.ndarray,
+                         patch_size: tuple, out_shape: tuple, z_scale: int,
+                         mirror: bool, num_classes: int):
+    """Jitted tile loop. data: (D, H, W, C); returns (logits, weights)."""
+    pd, ph, pw = patch_size
+    od = pd * z_scale
+    combos = _flip_axes_combinations(3) if mirror else [()]
+
+    logits0 = jnp.zeros((*out_shape, num_classes), dtype=jnp.float32)
+    weights0 = jnp.zeros(out_shape, dtype=jnp.float32)
+
+    def tile_step(carry, start):
+        logits_buf, weight_buf = carry
+        sx, sy, sz = start[0], start[1], start[2]
+        tile = lax.dynamic_slice(
+            data, (sx, sy, sz, 0), (pd, ph, pw, data.shape[-1]))
+        batch = _mirror_batch(tile, combos)
+        preds = model_fn(params, batch)  # (n_tta, od, ph, pw, num_classes)
+        pred = _unmirror_mean(preds, combos)
+        pred = pred.astype(jnp.float32) * gaussian[..., None]
+
+        zo = sx * z_scale
+        cur = lax.dynamic_slice(logits_buf, (zo, sy, sz, 0),
+                                (od, ph, pw, num_classes))
+        logits_buf = lax.dynamic_update_slice(logits_buf, cur + pred,
+                                              (zo, sy, sz, 0))
+        curw = lax.dynamic_slice(weight_buf, (zo, sy, sz), (od, ph, pw))
+        weight_buf = lax.dynamic_update_slice(weight_buf, curw + gaussian,
+                                              (zo, sy, sz))
+        return (logits_buf, weight_buf), None
+
+    (logits, weights), _ = lax.scan(tile_step, (logits0, weights0), starts)
+    return logits, weights
+
+
+def predict_sliding_window_logits(model_fn: Callable, params,
+                                  data: np.ndarray,
+                                  patch_size: Sequence[int],
+                                  *,
+                                  slice_separation: int = 1,
+                                  tile_step_size: float = 0.5,
+                                  use_gaussian: bool = True,
+                                  mirror: bool = True,
+                                  num_classes: int = 2) -> np.ndarray:
+    """Full sliding-window prediction of one volume.
+
+    model_fn(params, batch) must map (B, pd, ph, pw, C) ->
+    (B, pd*slice_separation, ph, pw, num_classes): the head selection
+    (LR vs HR) is folded into model_fn by the caller.
+
+    data: (D, H, W, C) numpy volume (already normalized). Returns
+    (D*slice_separation, H, W, num_classes) fp32 logits.
+    """
+    patch_size = tuple(int(p) for p in patch_size)
+    if use_gaussian:
+        g = compute_gaussian((patch_size[0] * slice_separation,) + patch_size[1:],
+                             1.0 / 8, 10.0)
+    else:
+        g = np.ones((patch_size[0] * slice_separation,) + patch_size[1:],
+                    dtype=np.float32)
+
+    starts = sliding_window_starts(data.shape[:3], patch_size, tile_step_size)
+    out_shape = (data.shape[0] * slice_separation, data.shape[1], data.shape[2])
+    logits, weights = _sliding_window_scan(
+        model_fn, params, jnp.asarray(data), jnp.asarray(starts),
+        jnp.asarray(g), patch_size, out_shape, int(slice_separation),
+        bool(mirror), int(num_classes))
+    logits = np.asarray(logits / weights[..., None])
+    if np.any(np.isinf(logits)):
+        raise RuntimeError("Encountered inf in predicted array.")
+    return logits
+
+
+def evaluate_case_volume(model_fn: Callable, params, volume: np.ndarray,
+                         label: np.ndarray | None, patch_size,
+                         *, slice_separation: int = 1,
+                         hr_model_fn: Callable | None = None,
+                         tile_step_size: float = 0.5,
+                         mirror: bool = True, num_classes: int = 2):
+    """Sliding-window evaluation of one (D, H, W) volume.
+
+    Mirrors ``evaluate_case`` (seg_utils.py:736-784): zscore-normalized input
+    is padded to >= patch, LR logits predicted with gaussian weighting +
+    mirror TTA, padding reverted, softmax/argmax to a LR mask, optional
+    second HR pass with the z-upscaled head.
+
+    Returns (pred_lr, pred_hr, dice_lr).
+    """
+    from ..losses import calculate_dice
+    from .. import data as _data_mod  # noqa: F401
+
+    from ..data.normalize import zscore_normalization
+
+    vol = zscore_normalization(volume)[..., None]  # (D, H, W, 1)
+    target_shape = [max(s, p) for s, p in zip(vol.shape[:3], patch_size)]
+    vol_p, pads = target_pad(vol, target_shape + [1], mode="constant")
+
+    logits = predict_sliding_window_logits(
+        model_fn, params, vol_p, patch_size,
+        slice_separation=1, tile_step_size=tile_step_size,
+        use_gaussian=True, mirror=mirror, num_classes=num_classes)
+    logits = crop(logits, pads[:3] + ((0, 0),))
+    probs = jax.nn.softmax(jnp.asarray(logits), axis=-1)
+    pred_lr = np.asarray(jnp.argmax(probs, axis=-1)).astype(np.uint8)
+
+    dice_lr = None
+    if label is not None:
+        dice_lr = calculate_dice(pred_lr, label.astype(np.uint8))
+
+    pred_hr = pred_lr
+    if hr_model_fn is not None:
+        logits_hr = predict_sliding_window_logits(
+            hr_model_fn, params, vol_p, patch_size,
+            slice_separation=slice_separation, tile_step_size=tile_step_size,
+            use_gaussian=True, mirror=mirror, num_classes=num_classes)
+        hr_pads = ((pads[0][0] * slice_separation,
+                    pads[0][1] * slice_separation),) + pads[1:3] + ((0, 0),)
+        logits_hr = crop(logits_hr, hr_pads)
+        pred_hr = np.asarray(jnp.argmax(jnp.asarray(logits_hr), axis=-1)).astype(np.uint8)
+
+    return pred_lr, pred_hr, dice_lr
