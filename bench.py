@@ -1,0 +1,101 @@
+"""Benchmark: sliding-window segmentation voxel throughput on one TPU chip.
+
+Measures the reference's north-star hot path (SURVEY.md §3.3 /
+BASELINE.json): gaussian-weighted sliding-window inference of the nnUNet-
+style SegModel over a full 3D MRI volume with 8-way mirror TTA, tile step
+0.5 — the configuration at reference seg_utils.py:736-784 (patch
+[14, 320, 384], volume ~(20, 455, 633)).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes no numbers (BASELINE.md), so the A100
+baseline is an analytic estimate computed from the measured model FLOPs:
+    est_A100_voxps = A100_FP16_PEAK * EST_MFU / flops_per_output_voxel
+with A100 dense fp16/bf16 peak 312 TFLOP/s and EST_MFU = 0.40 (an optimistic
+cuDNN conv-pipeline utilization for nnUNet-style 3D convs, favoring the
+baseline). flops_per_output_voxel accounts for the 8x TTA forwards and the
+~(1/step)^3 = 8x tile overlap, exactly like our own run. The target in
+BASELINE.json is >= 3x this estimate per chip.
+"""
+
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+PATCH = (14, 320, 384)       # reference default patch (seg_utils.py:229)
+VOLUME = (20, 455, 633)      # reference example volume (seg_utils.py:757)
+TILE_STEP = 0.5
+MIRROR = True
+COMPUTE_DTYPE = jnp.bfloat16
+
+A100_FP16_PEAK = 312e12
+EST_MFU = 0.40
+
+
+def main():
+    from rehrseg_tpu.models import SegModel, DEFAULT_ARCH
+    from rehrseg_tpu.infer import predict_sliding_window_logits
+    from rehrseg_tpu.utils.pad import target_pad
+
+    model = SegModel(num_classes=2, upscale=4, arch=dict(DEFAULT_ARCH))
+    x0 = jnp.zeros((1, *PATCH, 1), jnp.float32)
+    params = jax.jit(model.init)(jax.random.key(0), x0)
+    params = jax.tree.map(lambda a: a.astype(COMPUTE_DTYPE), params)
+
+    def lr_fn(p, batch):
+        return model.apply(p, batch.astype(COMPUTE_DTYPE))[0]
+
+    rng = np.random.default_rng(0)
+    vol = rng.normal(size=VOLUME).astype(np.float32)[..., None]
+    target_shape = [max(s, p) for s, p in zip(vol.shape[:3], PATCH)] + [1]
+    vol_p, _ = target_pad(vol, target_shape, mode="constant")
+
+    def run():
+        return predict_sliding_window_logits(
+            lr_fn, params, vol_p, PATCH, slice_separation=1,
+            tile_step_size=TILE_STEP, use_gaussian=True, mirror=MIRROR,
+            num_classes=2)
+
+    # warmup (compile)
+    out = run()
+    n_iters = 3
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = run()
+    dt = (time.perf_counter() - t0) / n_iters
+    voxels = int(np.prod(vol_p.shape[:3]))
+    voxps = voxels / dt
+
+    # analytic A100 estimate from measured FLOPs of one patch forward
+    n_tta = 8 if MIRROR else 1
+    from rehrseg_tpu.infer.sliding_window import sliding_window_starts
+    n_tiles = len(sliding_window_starts(vol_p.shape[:3], PATCH, TILE_STEP))
+    try:
+        lowered = jax.jit(lambda p, b: model.apply(p, b)[0]).lower(
+            params, jnp.zeros((n_tta, *PATCH, 1), COMPUTE_DTYPE))
+        analysis = lowered.compile().cost_analysis()
+        flops_fwd = float(analysis.get("flops", 0.0))
+    except Exception:
+        flops_fwd = 0.0
+    if flops_fwd > 0:
+        total_flops = flops_fwd * n_tiles
+        flops_per_voxel = total_flops / voxels
+        est_a100_voxps = A100_FP16_PEAK * EST_MFU / flops_per_voxel
+        vs_baseline = voxps / est_a100_voxps
+    else:
+        vs_baseline = 0.0
+
+    print(json.dumps({
+        "metric": "segmodel_sliding_window_voxel_throughput",
+        "value": round(voxps, 1),
+        "unit": "voxels/sec/chip",
+        "vs_baseline": round(vs_baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

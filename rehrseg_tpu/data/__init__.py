@@ -4,3 +4,5 @@ from .normalize import (
     percentile_normalization,
     zscore_batch,
 )
+from .transforms import TrainingTransforms
+from .datasets import SRPatchDataset, SegSRDataset, BatchLoader

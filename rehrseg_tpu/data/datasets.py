@@ -1,0 +1,322 @@
+"""Host-side training datasets for the two stages.
+
+Behavioral parity with the reference dataset classes
+(/root/reference/utils/train_set.py):
+
+  SRPatchDataset  <- TrainSetMultiple (train_set.py:225-434): per-subject HR
+    volumes (2-channel image+label) plus slice-profile-blurred copies along x
+    and y; each sample randomly picks the blur axis via a transpose coin
+    flip, random-crops a patch, optionally applies nnUNet intensity
+    transforms (data only — the blurred LR copy passes through, matching the
+    reference's enable_spatial=False pipeline), simulates LR by rational
+    B-spline downsampling (order 3 image / order 0 label), randomly zeroes
+    the first/last context slice (p=0.1 each), and applies random flips plus
+    an in-plane transpose coin flip. Serves both WDSR (2D, thin-z patches)
+    and FLAVR (3D).
+
+  SegSRDataset  <- TrainSetMultipleSegSREfficient (train_set.py:22-159):
+    pseudo-HR volumes (img/seg/uncertainty) from stage 1; random crop of
+    (ps_x+64, ps_y+64, ps_z*sep), flips, LR by strided slicing [::sep],
+    uncertainty weight transform 1 - u/255*0.99, then the full dummy-2D
+    spatial + intensity pipeline.
+
+Outputs are channels-last: stage-1 (D, H, W, C) [or (X, Y, C) for 2D],
+stage-2 dict of (D, H, W, 1) arrays. A simple `BatchLoader` stacks samples
+and can prefetch to device.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..io.volume import parse_image
+from ..ops.blur import parse_kernel, blur_axis_np
+from ..ops.bspline import resize_1d_np
+from ..utils.pad import target_pad
+from .normalize import zscore_normalization
+from .transforms import TrainingTransforms
+
+
+class SRPatchDataset:
+    """Stage-1 SR patch sampler (TrainSetMultiple parity)."""
+
+    def __init__(self, image_path, split_subjects, slice_thickness,
+                 target_thickness, blur_kernel_file, blur_kernel_name,
+                 patch_size, random_flip, preload=True, blur=True,
+                 nnunet_transform=False, seed=0):
+        if len(patch_size) == 2:
+            patch_size = (*patch_size, 1)
+        self.patch_size = tuple(patch_size)
+        self.random_flip = random_flip
+        self.blur = blur
+        self.slice_separation = float(slice_thickness / target_thickness)
+        self.image_path = image_path
+        self.rng = np.random.default_rng(seed)
+
+        all_names = os.listdir(image_path)
+        self.subjects = []
+        for s in split_subjects:
+            matches = [x for x in all_names if s in x]
+            if matches:
+                self.subjects.append(matches[0])
+
+        self.transform = None
+        if nnunet_transform:
+            # intensity-only (enable_spatial=False), reference
+            # train_set.py:259-277
+            self.transform = TrainingTransforms(
+                self.patch_size, enable_spatial=False,
+                enable_uncertainty=self.blur,
+                extra_keys=["seg", "img_lr"] if self.blur else ["seg"])
+
+        self._slice_thickness = slice_thickness
+        self._target_thickness = target_thickness
+        self._blur_kernel_file = blur_kernel_file
+        self._blur_kernel_name = blur_kernel_name
+
+        self.imgs_hr, self.labels_hr = [], []
+        self.filtered_x, self.filtered_y = [], []
+        for name in self.subjects:
+            img_hr, label_hr, fx, fy = self._load(name)
+            self.imgs_hr.append(np.asarray(img_hr[:]) if preload else img_hr)
+            self.labels_hr.append(np.asarray(label_hr[:]) if preload else label_hr)
+            self.filtered_x.append(np.asarray(fx[:]) if preload and fx is not None else fx)
+            self.filtered_y.append(np.asarray(fy[:]) if preload and fy is not None else fy)
+
+    def _load(self, name):
+        """Per-subject HR (x, y, z, c) volume + blurred copies in
+        (z, c, x, y) layout (train_set.py:303-335)."""
+        image, _, lr_axis, blur_fwhm, *_ = parse_image(
+            os.path.join(self.image_path, name), self._slice_thickness,
+            self._target_thickness)
+        if name.endswith(".h5"):
+            return (image["img_hr"], image["label_hr"],
+                    image["image_x_rgb"] if self.blur else None,
+                    image["image_y_rgb"] if self.blur else None)
+        image = np.squeeze(image)
+        if image.ndim == 3:
+            image = image[..., np.newaxis]
+        kernel = parse_kernel(self._blur_kernel_file, self._blur_kernel_name,
+                              blur_fwhm)
+        img_hr = image[..., :1]
+        label_hr = image[..., 1:].astype(np.uint8)
+        fx = fy = None
+        if self.blur:
+            # blur along x of (z, c, x, y): reference F.conv2d over dim 2
+            image_x = image.transpose(2, 3, 0, 1)[:, 0:1]
+            fx = blur_axis_np(image_x.astype(np.float32), kernel, axis=2)
+            image_y = image.transpose(2, 3, 1, 0)[:, 0:1]
+            fy = blur_axis_np(image_y.astype(np.float32), kernel, axis=2)
+        return img_hr, label_hr, fx, fy
+
+    def __len__(self):
+        return len(self.subjects)
+
+    def sample(self, i=None, rng=None):
+        """Draw one (img_lr, img_hr) channels-last pair."""
+        rng = rng or self.rng
+        if i is None:
+            i = int(rng.integers(0, len(self.subjects)))
+        img_hr = self.imgs_hr[i]
+        label_hr = self.labels_hr[i]
+        img_lr_vol = None
+        if self.blur:
+            if rng.random() < 0.5:
+                img_hr = np.transpose(img_hr[:], (1, 0, 2, 3))
+                label_hr = np.transpose(label_hr[:], (1, 0, 2, 3))
+                img_lr_vol = self.filtered_y[i]
+            else:
+                img_lr_vol = self.filtered_x[i]
+        else:
+            if rng.random() < 0.5:
+                img_hr = np.transpose(img_hr[:], (1, 0, 2, 3))
+                label_hr = np.transpose(label_hr[:], (1, 0, 2, 3))
+
+        ps = self.patch_size
+        sep = self.slice_separation
+        x0 = int(rng.integers(0, max(img_hr.shape[0] - ps[0], 0) + 1))
+        y0 = int(rng.integers(0, max(img_hr.shape[1] - ps[1], 0) + 1))
+        z0 = int(rng.integers(0, max(img_hr.shape[2] - ps[2], 0) + 1))
+        img = img_hr[x0:x0 + ps[0], y0:y0 + ps[1], z0:z0 + ps[2], :]
+        lab = label_hr[x0:x0 + ps[0], y0:y0 + ps[1],
+                       z0:z0 + ps[2], :].astype(np.float32)
+        img = img.transpose(2, 3, 0, 1)  # (z, c, x, y)
+        lab = lab.transpose(2, 3, 0, 1)
+
+        target_shape = [max(s, p) for s, p in
+                        zip(img.shape, (ps[2], 1, ps[0], ps[0]))]
+        img, _ = target_pad(img, target_shape, mode="constant")
+        lab, _ = target_pad(lab, target_shape, mode="constant")
+
+        if self.blur:
+            lr = img_lr_vol[z0:z0 + ps[2], :, x0:x0 + ps[0], y0:y0 + ps[1]]
+            lr, _ = target_pad(lr, target_shape, mode="constant")
+        else:
+            lr = img.copy()
+
+        if self.transform is not None:
+            # transform layout: (c, z, x, y)
+            d = {"data": img.transpose(1, 0, 2, 3),
+                 "seg": lab.transpose(1, 0, 2, 3)}
+            if self.blur:
+                d["img_lr"] = lr.transpose(1, 0, 2, 3)
+            out = self.transform(rng, **d)
+            img = out["data"].transpose(1, 0, 2, 3)
+            lab = out["seg"].transpose(1, 0, 2, 3)
+            if self.blur:
+                lr = out["img_lr"].transpose(1, 0, 2, 3)
+            else:
+                lr = img.copy()
+
+        img_hr_p = np.concatenate([img, lab], axis=1)  # (z, 2, x, y)
+        # simulate LR: B-spline downsample the through-plane (x) axis
+        lr = resize_1d_np(lr.astype(np.float64), sep, axis=2, order=3)
+        lab_lr = resize_1d_np(lab.astype(np.float64), sep, axis=2, order=0)
+        img_lr_p = np.concatenate([lr, lab_lr], axis=1)
+
+        img_hr_p = img_hr_p.transpose(1, 2, 0, 3)  # (c, x, z, y)
+        img_lr_p = img_lr_p.transpose(1, 2, 0, 3)
+
+        if img_hr_p.shape[2] > 1 and rng.random() < 0.1:
+            img_lr_p[:, 0:1] = 0.0
+        if img_hr_p.shape[2] > 1 and rng.random() < 0.1:
+            img_lr_p[:, -1:] = 0.0
+
+        if self.random_flip:
+            for axis in (1, 2, 3):
+                if rng.random() < 0.5:
+                    img_hr_p = np.flip(img_hr_p, axis=axis)
+                    img_lr_p = np.flip(img_lr_p, axis=axis)
+
+        if rng.random() < 0.5:
+            img_hr_p = img_hr_p.transpose(0, 1, 3, 2)
+            img_lr_p = img_lr_p.transpose(0, 1, 3, 2)
+
+        # torch squeezes the thin axis for 2D (WDSR); then layout to
+        # channels-last: (c, x, z, y) -> (x, z, y, c)
+        if self.patch_size[2] == 1:
+            img_hr_p = img_hr_p[:, :, 0] if img_hr_p.shape[2] == 1 else img_hr_p[:, :, :, 0]
+            img_lr_p = img_lr_p[:, :, 0] if img_lr_p.shape[2] == 1 else img_lr_p[:, :, :, 0]
+            return (np.moveaxis(img_lr_p, 0, -1).astype(np.float32),
+                    np.moveaxis(img_hr_p, 0, -1).astype(np.float32))
+        return (np.moveaxis(img_lr_p, 0, -1).astype(np.float32),
+                np.moveaxis(img_hr_p, 0, -1).astype(np.float32))
+
+
+class SegSRDataset:
+    """Stage-2 dataset (TrainSetMultipleSegSREfficient parity)."""
+
+    def __init__(self, image_path, split_subjects, slice_thickness,
+                 target_thickness, patch_size_ori, target_patch_size,
+                 random_flip=False, uncertainty=False, preload=True,
+                 norm=True, seed=0):
+        self.patch_size = tuple(patch_size_ori)        # (x, y, z) crop size
+        self.target_patch_size = tuple(target_patch_size)
+        self.separation = int(slice_thickness / target_thickness)
+        self.random_flip = random_flip
+        self.uncertainty = uncertainty
+        self.norm = norm
+        self.rng = np.random.default_rng(seed)
+
+        self.imgs, self.labels, self.uncertainties = [], [], []
+        for s in split_subjects:
+            path = os.path.join(image_path, s + "_0000.h5")
+            if not os.path.exists(path):
+                path = os.path.join(image_path, s + ".h5")
+            image, *_ = parse_image(path, slice_thickness, target_thickness)
+            img, lab = image["img"], image["seg"]
+            unc = image["uncertainty"] if uncertainty else None
+            self.imgs.append(np.asarray(img[:]) if preload else img)
+            self.labels.append(np.asarray(lab[:]) if preload else lab)
+            self.uncertainties.append(
+                np.asarray(unc[:]) if (preload and unc is not None) else unc)
+
+        # dummy-2D spatial + intensity pipeline; uncertainty is continuous
+        # (train_set.py:64-84). patch arg is (z, y, x) like the reference's
+        # target_patch_size[::-1].
+        self.transform = TrainingTransforms(
+            tuple(target_patch_size[::-1]), enable_spatial=True,
+            enable_uncertainty=uncertainty,
+            extra_keys=["seg", "seg_sr", "uncertainty"] if uncertainty
+            else ["seg", "seg_sr"])
+
+    def __len__(self):
+        return len(self.imgs)
+
+    def sample(self, i=None, rng=None):
+        rng = rng or self.rng
+        if i is None:
+            i = int(rng.integers(0, len(self.imgs)))
+        img = np.asarray(self.imgs[i][:], dtype=np.float32)
+        label = np.asarray(self.labels[i][:], dtype=np.float32)
+        if self.norm:
+            img = zscore_normalization(img)
+
+        ps = self.patch_size
+        sep = self.separation
+        x0 = int(rng.integers(0, max(img.shape[0] - ps[0], 0) + 1))
+        y0 = int(rng.integers(0, max(img.shape[1] - ps[1], 0) + 1))
+        z0 = int(rng.integers(0, max(img.shape[2] - ps[2] * sep, 0) + 1))
+        img = img[x0:x0 + ps[0], y0:y0 + ps[1], z0:z0 + ps[2] * sep]
+        label = label[x0:x0 + ps[0], y0:y0 + ps[1], z0:z0 + ps[2] * sep]
+        target_shape = [max(s, p) for s, p in
+                        zip(img.shape, (ps[0], ps[1], ps[2] * sep))]
+        img, _ = target_pad(img, target_shape, mode="constant")
+        label, _ = target_pad(label, target_shape, mode="constant")
+        if self.uncertainty:
+            unc = np.asarray(self.uncertainties[i][:], dtype=np.float32)
+            unc = unc[x0:x0 + ps[0], y0:y0 + ps[1], z0:z0 + ps[2] * sep]
+            unc, _ = target_pad(unc, target_shape, mode="constant")
+
+        if self.random_flip:
+            for axis in (0, 1, 2):
+                if rng.random() < 0.5:
+                    img = np.flip(img, axis=axis)
+                    label = np.flip(label, axis=axis)
+                    if self.uncertainty:
+                        unc = np.flip(unc, axis=axis)
+
+        img_lr = img[:, :, ::sep]
+        label_lr = label[:, :, ::sep]
+
+        # (x, y, z) -> transform layout (c=1, z, x, y)
+        def to_c_zxy(a):
+            return a.transpose(2, 0, 1)[None].copy()
+
+        d = {"data": to_c_zxy(img_lr), "seg": to_c_zxy(label_lr),
+             "seg_sr": to_c_zxy(label)}
+        if self.uncertainty:
+            unc_lr = unc[:, :, ::sep]
+            d["uncertainty"] = 1.0 - to_c_zxy(unc_lr) / 255.0 * 0.99
+        out = self.transform(rng, **d)
+
+        # channels-last (z, x, y, 1)
+        def to_out(a):
+            return np.moveaxis(a, 0, -1).astype(np.float32)
+
+        return {
+            "img": to_out(out["data"]),
+            "label_lr": to_out(out["seg"]),
+            "label_hr": to_out(out["seg_sr"]),
+            "uncertainty_lr": to_out(out["uncertainty"])
+            if self.uncertainty else np.zeros_like(to_out(out["seg"])),
+        }
+
+
+class BatchLoader:
+    """Minimal batching iterator over a dataset's `sample()`."""
+
+    def __init__(self, dataset, batch_size: int, seed: int = 0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.rng = np.random.default_rng(seed)
+
+    def next(self):
+        samples = [self.dataset.sample(rng=self.rng)
+                   for _ in range(self.batch_size)]
+        if isinstance(samples[0], dict):
+            return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+        n = len(samples[0])
+        return tuple(np.stack([s[j] for s in samples]) for j in range(n))

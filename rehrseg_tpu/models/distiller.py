@@ -65,9 +65,10 @@ def pairwise_loss_after_pool(feat_s, feat_t, scale: float = 0.5):
 
     feat: (B, S, H, W, C) — slice dim folds into batch, pool to `scale`.
     """
-    b, s, h, w, c = feat_s.shape
-    fs = feat_s.reshape(b * s, h, w, c)
-    ft = jax.lax.stop_gradient(feat_t).reshape(b * s, h, w, c)
+    b, s, h, w, cs = feat_s.shape
+    ct = feat_t.shape[-1]
+    fs = feat_s.reshape(b * s, h, w, cs)
+    ft = jax.lax.stop_gradient(feat_t).reshape(b * s, h, w, ct)
     # reference pools with kernel (int(W*scale), int(H*scale)) — W/H swapped
     # relative to the feature dims, harmless for square maps; we keep (h, w).
     kh, kw = max(int(h * scale), 1), max(int(w * scale), 1)

@@ -1,0 +1,66 @@
+"""Orbax checkpointing with true resume (step, params, optimizer state).
+
+The reference persists bare ``state_dict`` blobs every ``save_iters`` steps
+(train_all.py:143-151) and its stage-2 save is broken (quirk Q1,
+train_all.py:572: Path '/' on a str raises TypeError). Here checkpoints carry
+the full train state and restore is exact.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from .state import TrainState
+
+
+def _to_host(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(directory: str, state: TrainState, step: int | None = None,
+                    name: str = "state") -> str:
+    """Write a checkpoint under directory/<step>/<name>."""
+    step = int(state.step) if step is None else int(step)
+    path = os.path.join(os.path.abspath(directory), str(step))
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(os.path.join(path, name),
+                   {"params": _to_host(state.params),
+                    "opt_state": _to_host(state.opt_state),
+                    "step": step},
+                   force=True)
+    return path
+
+
+def restore_checkpoint(directory: str, state: TrainState, step: int | None = None,
+                       name: str = "state") -> TrainState:
+    """Restore into the structure of ``state`` (so shardings/dtypes match)."""
+    directory = os.path.abspath(directory)
+    if step is None:
+        step = latest_step(directory)
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {directory}")
+    path = os.path.join(directory, str(step), name)
+    template = {"params": _to_host(state.params),
+                "opt_state": _to_host(state.opt_state),
+                "step": int(state.step)}
+    with ocp.PyTreeCheckpointer() as ckptr:
+        restored = ckptr.restore(path, item=template)
+    return TrainState(params=restored["params"],
+                      opt_state=restored["opt_state"],
+                      step=int(restored["step"]))
+
+
+def latest_step(directory: str) -> int | None:
+    if not os.path.isdir(directory):
+        return None
+    steps = [int(d) for d in os.listdir(directory) if d.isdigit()]
+    return max(steps) if steps else None
+
+
+def has_checkpoint(directory: str) -> bool:
+    return latest_step(directory) is not None

@@ -1,0 +1,119 @@
+"""Stage-2 segmentation training step: dual LR+HR seg loss, uncertainty
+weighting, and structural knowledge distillation from the frozen FLAVR
+teacher.
+
+Parity with the reference stage-2 loop (train_all.py:519-556) and
+`get_intermediate_features` (train_all.py:85-112): the teacher encoder slides
+a 4-slice window along z (zero-padded at the ends), keeps feature slice 1 per
+window plus slice 2 of the last window, and concatenates to a full-depth
+64-channel feature volume aligned with the student's stage-1 skip.
+
+TPU-first: the reference runs D-1 sequential teacher forwards per step
+(train_all.py:89-99); here all windows fold into one batched encoder forward
+(one big MXU-friendly batch), under stop_gradient.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..losses import dc_and_weighted_ce
+from ..data.normalize import zscore_batch
+from .state import TrainState
+
+
+def flavr_window_indices(depth: int) -> np.ndarray:
+    """(depth-1, 4) gather indices into a z-padded (depth+2) volume.
+
+    Window st covers original slices [st-1, st+2] with zero padding at the
+    boundaries (train_all.py:89-97): in padded coordinates that is
+    padded[st : st+4].
+    """
+    return np.arange(depth - 1)[:, None] + np.arange(4)[None, :]
+
+
+def flavr_teacher_features(flavr_model, flavr_params, img_lr: jnp.ndarray,
+                           label_lr: jnp.ndarray, feature_index: int = 1):
+    """Teacher feature volume for KD (get_intermediate_features parity).
+
+    img_lr, label_lr: (B, D, H, W, 1). Returns (B, D, H', W', C') where
+    feature_index=1 selects the 64-channel layer1 features at H/2.
+    """
+    img = zscore_batch(img_lr)
+    x = jnp.concatenate([img, label_lr], axis=-1)  # (B, D, H, W, 2)
+    b, d, h, w, c = x.shape
+    padded = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+    idx = flavr_window_indices(d)  # (d-1, 4)
+    windows = padded[:, idx]  # (B, d-1, 4, H, W, C)
+    flat = windows.reshape(b * (d - 1), 4, h, w, c)
+    feats = flavr_model.apply(flavr_params, flat,
+                              return_intermediate_feature=True)
+    f = feats[feature_index]  # (B*(d-1), 4, H', W', C')
+    _, fd, fh, fw, fc = f.shape
+    f = f.reshape(b, d - 1, fd, fh, fw, fc)
+    center = f[:, :, 1]          # slice 1 of each window -> slices 0..d-2
+    last = f[:, -1:, 2]          # slice 2 of the last window -> slice d-1
+    out = jnp.concatenate([center, last], axis=1)  # (B, d, H', W', C')
+    return jax.lax.stop_gradient(out)
+
+
+class SegBatch(NamedTuple):
+    img: jnp.ndarray            # (B, D, H, W, 1) LR pseudo image
+    label_lr: jnp.ndarray       # (B, D, H, W, 1)
+    label_hr: jnp.ndarray       # (B, D*sep, H, W, 1)
+    uncertainty_lr: jnp.ndarray  # (B, D, H, W, 1) or dummy zeros
+
+
+def make_seg_train_step(seg_model, tx: optax.GradientTransformation,
+                        *, enable_uncertainty: bool,
+                        enable_distillation: bool,
+                        flavr_model=None,
+                        distiller=None,
+                        donate: bool = True) -> Callable:
+    """Returns jitted step(state, flavr_params, batch) -> (state, metrics).
+
+    `state.params` is {'seg': seg_params, 'distiller': distiller_params} when
+    distillation is on (the reference optimizes both jointly,
+    train_all.py:511-513).
+    """
+
+    def loss_fn(params, flavr_params, batch: SegBatch):
+        seg_params = params["seg"] if enable_distillation else params
+        lr_logits, hr_logits, skips = seg_model.apply(
+            seg_params, batch.img, return_intermediate_feature=True)
+
+        unc = batch.uncertainty_lr if enable_uncertainty else None
+        loss_lr = dc_and_weighted_ce(
+            lr_logits, batch.label_lr, unc,
+            weight_ce=1.0, weight_dice=0.0 if enable_uncertainty else 1.0)
+        loss_hr = dc_and_weighted_ce(hr_logits, batch.label_hr, None,
+                                     weight_ce=1.0, weight_dice=1.0)
+        loss = loss_lr + loss_hr
+        metrics = {"loss_lr": loss_lr, "loss_hr": loss_hr}
+
+        if enable_distillation:
+            teacher = flavr_teacher_features(flavr_model, flavr_params,
+                                             batch.img, batch.label_lr)
+            student = skips[1]
+            kd = distiller.apply(params["distiller"], student, teacher)
+            loss = loss + kd
+            metrics["loss_kd"] = kd
+        metrics["loss"] = loss
+        return loss, metrics
+
+    def step(state: TrainState, flavr_params, batch: SegBatch):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, flavr_params, batch)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=params, opt_state=opt_state,
+                               step=state.step + 1)
+        return new_state, metrics
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(step, donate_argnums=donate_argnums)

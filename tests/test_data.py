@@ -1,0 +1,184 @@
+"""Tests for normalization, augmentation transforms, and datasets."""
+
+import numpy as np
+import pytest
+
+from rehrseg_tpu.data import (
+    zscore_normalization, zeroone_normalization, percentile_normalization,
+    TrainingTransforms, SRPatchDataset, SegSRDataset, BatchLoader,
+)
+from rehrseg_tpu.io import write_h5
+from rehrseg_tpu.io.nifti import NiftiImage, save as nifti_save
+
+
+def test_zscore(rng):
+    x = rng.normal(3.0, 2.0, size=(16, 16, 8)).astype(np.float32)
+    z = zscore_normalization(x)
+    assert abs(z.mean()) < 1e-5
+    assert abs(z.std() - 1) < 1e-4
+
+
+def test_zeroone(rng):
+    x = rng.normal(size=(8, 8)).astype(np.float32)
+    z = zeroone_normalization(x)
+    assert z.min() == 0 and z.max() == pytest.approx(1.0)
+
+
+def test_percentile_norm(rng):
+    x = rng.normal(10, 5, size=(32, 32)).astype(np.float32)
+    z = percentile_normalization(x)
+    assert 0 <= z.min() and z.max() <= 1.0
+
+
+# ------------------------------------------------------------- transforms
+
+def test_spatial_identity_when_no_aug(rng):
+    """With p=0 rotations/scales the transform is a center crop / identity."""
+    from rehrseg_tpu.data.transforms import augment_spatial_2d
+    data = rng.normal(size=(2, 16, 16)).astype(np.float32)
+    seg = (rng.normal(size=(1, 16, 16)) > 0).astype(np.float32)
+    out_d, out_s = augment_spatial_2d(data, [seg], (16, 16), rng,
+                                      p_rot_per_sample=0.0,
+                                      p_scale_per_sample=0.0)
+    assert np.allclose(out_d, data)
+    assert np.allclose(out_s[0], seg)
+
+
+def test_spatial_center_crop(rng):
+    from rehrseg_tpu.data.transforms import augment_spatial_2d
+    data = rng.normal(size=(1, 20, 20)).astype(np.float32)
+    out_d, _ = augment_spatial_2d(data, [], (12, 12), rng,
+                                  p_rot_per_sample=0.0, p_scale_per_sample=0.0)
+    assert out_d.shape == (1, 12, 12)
+    assert np.allclose(out_d[0], data[0, 4:16, 4:16], atol=1e-6)
+
+
+def test_spatial_rotation_preserves_labels_binary(rng):
+    from rehrseg_tpu.data.transforms import augment_spatial_2d
+    data = rng.normal(size=(1, 24, 24)).astype(np.float32)
+    seg = np.zeros((1, 24, 24), dtype=np.float32)
+    seg[0, 8:16, 8:16] = 1.0
+    out_d, out_s = augment_spatial_2d(data, [seg], (24, 24), rng,
+                                      p_rot_per_sample=1.0,
+                                      p_scale_per_sample=1.0)
+    assert set(np.unique(out_s[0])).issubset({0.0, 1.0})
+
+
+def test_training_transforms_pipeline(rng):
+    tfm = TrainingTransforms((4, 24, 24), enable_spatial=True,
+                             enable_uncertainty=True,
+                             extra_keys=["seg", "seg_sr", "uncertainty"])
+    d = {
+        "data": rng.normal(size=(1, 4, 32, 32)).astype(np.float32),
+        "seg": (rng.normal(size=(1, 4, 32, 32)) > 0).astype(np.float32),
+        "seg_sr": (rng.normal(size=(1, 16, 32, 32)) > 0).astype(np.float32),
+        "uncertainty": rng.uniform(size=(1, 4, 32, 32)).astype(np.float32),
+    }
+    out = tfm(rng, **d)
+    assert out["data"].shape == (1, 4, 24, 24)
+    assert out["seg"].shape == (1, 4, 24, 24)
+    assert out["seg_sr"].shape == (1, 16, 24, 24)
+    assert out["uncertainty"].shape == (1, 4, 24, 24)
+    assert set(np.unique(out["seg"])).issubset({0.0, 1.0})
+    # uncertainty stays continuous (cubic interp may over/undershoot a bit)
+    assert len(np.unique(out["uncertainty"])) > 2
+    assert np.isfinite(out["uncertainty"]).all()
+
+
+def test_intensity_transforms_shapes(rng):
+    from rehrseg_tpu.data import transforms as T
+    x = rng.normal(size=(2, 8, 16, 16)).astype(np.float32)
+    for fn in (T.augment_gaussian_noise, T.augment_gaussian_blur,
+               T.augment_brightness_multiplicative, T.augment_contrast,
+               T.augment_linear_downsampling, T.augment_gamma):
+        out = fn(x, rng)
+        assert out.shape == x.shape
+        assert np.isfinite(out).all()
+
+
+def test_gamma_retain_stats(rng):
+    from rehrseg_tpu.data.transforms import augment_gamma
+    x = rng.normal(2.0, 3.0, size=(1, 32, 32)).astype(np.float64)
+    out = augment_gamma(x, rng, retain_stats=True)
+    assert out[0].mean() == pytest.approx(x[0].mean(), abs=1e-6)
+    assert out[0].std() == pytest.approx(x[0].std(), rel=1e-5)
+
+
+# --------------------------------------------------------------- datasets
+
+def _make_subject_nifti(path, rng, shape=(32, 32, 12)):
+    img = rng.normal(size=shape).astype(np.float32)
+    lab = (rng.normal(size=shape) > 1).astype(np.float32)
+    merged = np.stack([img, lab], axis=-1)
+    nifti_save(NiftiImage(data=merged,
+                          affine=np.diag([1.0, 1.0, 4.0, 1.0])), path)
+
+
+def test_sr_dataset_wdsr_mode(tmp_path, rng):
+    """2D (thin z) patches: WDSR geometry — HR x extent = 4x LR."""
+    _make_subject_nifti(str(tmp_path / "sub1_0000.nii.gz"), rng)
+    ds = SRPatchDataset(str(tmp_path), ["sub1"], 4.0, 1.0, None,
+                        "rf-pulse-slr", (16, 16), random_flip=True,
+                        blur=True, nnunet_transform=False)
+    lr, hr = ds.sample(0)
+    assert hr.shape == (16, 16, 2)
+    assert lr.shape == (4, 16, 2)
+    assert set(np.unique(hr[..., 1])).issubset({0.0, 1.0})
+
+
+def test_sr_dataset_flavr_mode(tmp_path, rng):
+    """3D patches: (D, H, W, C) with D_hr = 16, D_lr = 4."""
+    _make_subject_nifti(str(tmp_path / "sub1_0000.nii.gz"), rng)
+    ds = SRPatchDataset(str(tmp_path), ["sub1"], 4.0, 1.0, None,
+                        "rf-pulse-slr", (16, 8, 8), random_flip=True,
+                        blur=True, nnunet_transform=True)
+    lr, hr = ds.sample(0)
+    # in-plane dims are square (the reference always uses y == z patches,
+    # making the final transpose coin-flip shape-safe, train_set.py:424-431)
+    assert hr.shape == (16, 8, 8, 2)
+    assert lr.shape == (4, 8, 8, 2)
+
+
+def test_sr_dataset_from_h5(tmp_path, rng):
+    img = rng.normal(size=(24, 24, 8, 1)).astype(np.float32)
+    lab = (rng.normal(size=(24, 24, 8, 1)) > 1).astype(np.uint8)
+    fx = rng.normal(size=(8, 1, 24, 24)).astype(np.float32)
+    fy = rng.normal(size=(8, 1, 24, 24)).astype(np.float32)
+    write_h5(str(tmp_path / "sub1.h5"), img_hr=img, label_hr=lab,
+             image_x_rgb=fx, image_y_rgb=fy)
+    ds = SRPatchDataset(str(tmp_path), ["sub1"], 4.0, 1.0, None,
+                        "rf-pulse-slr", (16, 16), random_flip=False,
+                        blur=True, nnunet_transform=False)
+    lr, hr = ds.sample(0)
+    assert hr.shape == (16, 16, 2)
+    assert lr.shape == (4, 16, 2)
+
+
+def test_segsr_dataset(tmp_path, rng):
+    shape = (48, 48, 32)  # pseudo-HR volume (x, y, z_hr)
+    write_h5(str(tmp_path / "sub1_0000.h5"),
+             img=rng.normal(size=shape).astype(np.float32),
+             seg=(rng.normal(size=shape) > 1).astype(np.float32),
+             uncertainty=(rng.uniform(size=shape) * 255).astype(np.float32))
+    ds = SegSRDataset(str(tmp_path), ["sub1"], 4.0, 1.0,
+                      patch_size_ori=(40, 40, 6), target_patch_size=(24, 24, 6),
+                      random_flip=True, uncertainty=True)
+    out = ds.sample(0)
+    assert out["img"].shape == (6, 24, 24, 1)
+    assert out["label_lr"].shape == (6, 24, 24, 1)
+    assert out["label_hr"].shape == (24, 24, 24, 1)
+    assert out["uncertainty_lr"].shape == (6, 24, 24, 1)
+    # uncertainty weight transform: 1 - u/255*0.99 in (0.01, 1]
+    u = out["uncertainty_lr"]
+    assert u.min() >= -0.05 and u.max() <= 1.05
+
+
+def test_batch_loader(tmp_path, rng):
+    _make_subject_nifti(str(tmp_path / "sub1_0000.nii.gz"), rng)
+    ds = SRPatchDataset(str(tmp_path), ["sub1"], 4.0, 1.0, None,
+                        "rf-pulse-slr", (16, 16), random_flip=False,
+                        blur=True, nnunet_transform=False)
+    loader = BatchLoader(ds, batch_size=3)
+    lr, hr = loader.next()
+    assert lr.shape == (3, 4, 16, 2)
+    assert hr.shape == (3, 16, 16, 2)
