@@ -128,15 +128,18 @@ def test_sr_dataset_wdsr_mode(tmp_path, rng):
 
 def test_sr_dataset_flavr_mode(tmp_path, rng):
     """3D patches: (D, H, W, C) with D_hr = 16, D_lr = 4."""
-    _make_subject_nifti(str(tmp_path / "sub1_0000.nii.gz"), rng)
+    _make_subject_nifti(str(tmp_path / "sub1_0000.nii.gz"), rng,
+                        shape=(32, 32, 16))
+    # in-plane dims must be square: the reference's pad target for y is
+    # patch_size[0] (train_set.py:361) and the final transpose coin flip
+    # swaps the in-plane axes (train_set.py:424-431) — both are only
+    # shape-stable for y == z patches, which all shipped configs use.
     ds = SRPatchDataset(str(tmp_path), ["sub1"], 4.0, 1.0, None,
-                        "rf-pulse-slr", (16, 8, 8), random_flip=True,
+                        "rf-pulse-slr", (16, 16, 16), random_flip=True,
                         blur=True, nnunet_transform=True)
     lr, hr = ds.sample(0)
-    # in-plane dims are square (the reference always uses y == z patches,
-    # making the final transpose coin-flip shape-safe, train_set.py:424-431)
-    assert hr.shape == (16, 8, 8, 2)
-    assert lr.shape == (4, 8, 8, 2)
+    assert hr.shape == (16, 16, 16, 2)
+    assert lr.shape == (4, 16, 16, 2)
 
 
 def test_sr_dataset_from_h5(tmp_path, rng):
