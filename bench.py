@@ -26,7 +26,11 @@ import jax
 import jax.numpy as jnp
 
 
-PATCH = (14, 320, 384)       # reference default patch (seg_utils.py:229)
+# reference default patch is [14, 320, 384] (seg_utils.py:229); DEFAULT_ARCH
+# strides need D divisible by 8 and H/W by 32, so the benchmark uses the
+# nearest valid patch (real runs take the patch from plans.json, which nnUNet
+# guarantees to be stride-divisible).
+PATCH = (16, 320, 384)
 VOLUME = (20, 455, 633)      # reference example volume (seg_utils.py:757)
 TILE_STEP = 0.5
 MIRROR = True

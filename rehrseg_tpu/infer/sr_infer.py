@@ -1,0 +1,162 @@
+"""SR volume inference + postprocessing (stage-1 pseudo-HR generation).
+
+Capability parity with the reference sr_utils
+(/root/reference/utils/sr_utils.py:20-304):
+
+  infer_wdsr_volume:  slide the 2D WDSR over in-plane slices, upsampling the
+    thin z axis (the reference achieves the same net axis routing through its
+    lr_axis=0 + rot90 + permute chain, sr_utils.py:33-73). All slices batch
+    into device-sized chunks instead of the reference's batch=1 loop.
+
+  infer_flavr_volume: 4-slice sliding window along z (zero-padded ends,
+    sr_utils.py:115-125); every window position folds into ONE batched
+    forward (the reference runs one forward per LR slice gap). H/W pad to
+    multiples of 16 for the encoder strides. Output has 4*(Z-1) slices — the
+    reference's concatenation semantics (sr_utils.py:133).
+
+  postprocess_smore / postprocess_flavr: slice-profile re-blur of the SR
+    volumes to produce stage-2 training inputs (sr_utils.py:244-304),
+    including the cubic/nearest zoom fallback when SMORE is disabled.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.blur import parse_kernel, blur_axis_np
+from ..ops.bspline import zoom_axis_np
+from ..utils.patch import find_integer_p, calc_slices_to_crop
+from ..io.volume import inv_normalize
+
+
+def _pad_z_for_rational_sr(vol: np.ndarray, slice_separation: float):
+    """Reflect-pad z so the rational SR factor lands on the ideal slice count
+    (sr_utils.py:46-48). vol: (..., z, c) with z at axis -2."""
+    n = vol.shape[-2]
+    n_pad = find_integer_p(n, slice_separation)
+    n_crop = calc_slices_to_crop(n_pad, slice_separation)
+    if n_pad:
+        pads = [(0, 0)] * vol.ndim
+        pads[-2] = (0, n_pad)
+        vol = np.pad(vol, pads, mode="reflect")
+    return vol, n_crop
+
+
+def infer_wdsr_volume(model, params, volume: np.ndarray,
+                      slice_separation: float, batch: int = 8) -> np.ndarray:
+    """volume: (x, y, z, c) with thin z. Returns (x, y, z*sep, c).
+
+    Each x-slice is a (z, y, c) image; WDSR upsamples its first axis.
+    """
+    vol, n_crop = _pad_z_for_rational_sr(volume, slice_separation)
+    x_slices = vol.transpose(0, 2, 1, 3)  # (x, z, y, c)
+    nx = x_slices.shape[0]
+    pad_n = (-nx) % batch
+    if pad_n:
+        x_slices = np.concatenate(
+            [x_slices, np.zeros((pad_n, *x_slices.shape[1:]),
+                                x_slices.dtype)], axis=0)
+
+    fwd = jax.jit(lambda p, b: model.apply(p, b))
+    outs = []
+    for st in range(0, x_slices.shape[0], batch):
+        outs.append(np.asarray(fwd(params,
+                                   jnp.asarray(x_slices[st:st + batch]))))
+    out = np.concatenate(outs, axis=0)[:nx]  # (x, z*sep, y, c)
+    if n_crop:
+        out = out[:, :-n_crop]
+    return out.transpose(0, 2, 1, 3)  # (x, y, z*sep, c)
+
+
+def flavr_windows(vol_zhw: np.ndarray) -> np.ndarray:
+    """(z, H, W, C) -> (z-1, 4, H, W, C) zero-padded 4-slice windows
+    (sr_utils.py:115-125)."""
+    z = vol_zhw.shape[0]
+    padded = np.concatenate([
+        np.zeros((1, *vol_zhw.shape[1:]), vol_zhw.dtype), vol_zhw,
+        np.zeros((1, *vol_zhw.shape[1:]), vol_zhw.dtype)], axis=0)
+    idx = np.arange(z - 1)[:, None] + np.arange(4)[None]
+    return padded[idx]
+
+
+def infer_flavr_volume(model, params, volume: np.ndarray,
+                       slice_separation: float, out_index: int | None = None,
+                       batch: int = 8) -> np.ndarray:
+    """volume: (x, y, z, c). Returns (x, y, 4*(z_pad-1), c_out) where c_out
+    follows the selected model output (0 = SR image+label, 1 = uncertainty).
+
+    The z-windows batch through the model in chunks; H/W are zero-padded to
+    multiples of 16 for the encoder strides (sr_utils.py:106-113).
+    """
+    vol, n_crop = _pad_z_for_rational_sr(volume, slice_separation)
+    x, y, z, c = vol.shape
+    vol_zhw = vol.transpose(2, 0, 1, 3)  # (z, H=x, W=y, c)
+
+    pad_h = (-x) % 16
+    pad_w = (-y) % 16
+    if pad_h or pad_w:
+        vol_zhw = np.pad(vol_zhw, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+
+    windows = flavr_windows(vol_zhw)  # (z-1, 4, H, W, c)
+    nw = windows.shape[0]
+    pad_n = (-nw) % batch
+    if pad_n:
+        windows = np.concatenate(
+            [windows, np.zeros((pad_n, *windows.shape[1:]), windows.dtype)],
+            axis=0)
+
+    def fwd(p, b):
+        out = model.apply(p, b)
+        if isinstance(out, tuple):
+            out = out[out_index if out_index is not None else 0]
+        return out
+
+    fwd = jax.jit(fwd)
+    outs = []
+    for st in range(0, windows.shape[0], batch):
+        outs.append(np.asarray(fwd(params, jnp.asarray(windows[st:st + batch]))))
+    out = np.concatenate(outs, axis=0)[:nw]  # (z-1, 4, H, W, c_out)
+    out = out[:, :, :x, :y]                  # strip the x16 padding
+    zo = out.shape[0] * out.shape[1]
+    out = out.reshape(zo, x, y, out.shape[-1])
+    if n_crop:
+        out = out[:-n_crop]
+    return out.transpose(1, 2, 0, 3)  # (x, y, z_out, c_out)
+
+
+def postprocess_sr_volume(image_xyz: np.ndarray, blur_fwhm: float,
+                          blur_kernel_name: str = "rf-pulse-slr"):
+    """Slice-profile re-blur along x and y of the pseudo-HR image
+    (sr_utils.py:267-277): the blurred copies are the stage-1 training LR
+    sources."""
+    kernel = parse_kernel(None, blur_kernel_name, blur_fwhm)
+    # (x, y, z[, c]) -> (z, c, x, y)
+    img = image_xyz if image_xyz.ndim == 4 else image_xyz[..., None]
+    zcxy = img.transpose(2, 3, 0, 1)[:, 0:1]
+    image_x_rgb = blur_axis_np(zcxy.astype(np.float32), kernel, axis=2)
+    zcyx = img.transpose(2, 3, 1, 0)[:, 0:1]
+    image_y_rgb = blur_axis_np(zcyx.astype(np.float32), kernel, axis=2)
+    return image_x_rgb, image_y_rgb
+
+
+def interpolate_pseudo_sr(image: np.ndarray, label: np.ndarray,
+                          slice_separation: float):
+    """Traditional-interpolation fallback (no SMORE): cubic zoom for image,
+    nearest for label, along z (sr_utils.py:256-265)."""
+    up_img = zoom_axis_np(image, slice_separation, axis=2, order=3)
+    up_lab = zoom_axis_np(label, slice_separation, axis=2, order=0)
+    return up_img, up_lab
+
+
+def zeroonenorm255(data: np.ndarray) -> np.ndarray:
+    """(x - min)/(max - min) * 255 (sr_utils.py:279-282)."""
+    data = (data - np.min(data)) / (np.max(data) - np.min(data))
+    return data * 255.0
+
+
+def restore_intensity(out01: np.ndarray, orig_min, orig_max) -> np.ndarray:
+    """Map model [0,1] outputs back to the source intensity range
+    (sr_utils.py:175, inv_normalize with a=0, b=1)."""
+    return inv_normalize(out01, orig_min, orig_max, a=0, b=1)

@@ -1,0 +1,120 @@
+"""End-to-end integration test: the full 3-stage pipeline on a tiny synthetic
+dataset (SURVEY.md §4's integration-test requirement)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from rehrseg_tpu.config import Config
+from rehrseg_tpu.io.nifti import NiftiImage, save as nifti_save
+from rehrseg_tpu.pipeline import Pipeline, merge_images_and_labels
+
+
+TINY_ARCH = dict(
+    n_stages=3,
+    features_per_stage=[4, 8, 8],
+    kernel_sizes=[[1, 3, 3], [3, 3, 3], [3, 3, 3]],
+    strides=[[1, 1, 1], [1, 2, 2], [2, 2, 2]],
+    n_conv_per_stage=[1, 1, 1],
+    n_conv_per_stage_decoder=[1, 1],
+    conv_bias=True, norm_eps=1e-5, norm_affine=True, nonlin_slope=0.01,
+)
+
+
+@pytest.fixture
+def synthetic_dataset(tmp_path):
+    rng = np.random.default_rng(0)
+    images = tmp_path / "imagesTr"
+    labels = tmp_path / "labelsTr"
+    images.mkdir()
+    labels.mkdir()
+    for name in ("sub1", "sub2"):
+        shape = (24, 24, 8)
+        img = rng.normal(size=shape).astype(np.float32)
+        img[8:16, 8:16, 2:6] += 3.0  # a bright blob
+        lab = np.zeros(shape, dtype=np.float32)
+        lab[8:16, 8:16, 2:6] = 1.0
+        aff = np.diag([1.0, 1.0, 4.0, 1.0])
+        nifti_save(NiftiImage(data=img, affine=aff),
+                   str(images / f"{name}_0000.nii.gz"))
+        nifti_save(NiftiImage(data=lab, affine=aff),
+                   str(labels / f"{name}.nii.gz"))
+    return tmp_path
+
+
+def _tiny_config(root) -> Config:
+    cfg = Config(
+        data_path=str(root / "imagesTr"),
+        tmp_path=str(root / "tmp"),
+        checkpoint_path=str(root / "ckpt"),
+        seg_path="",
+        smore_initialization=False,     # zoom fallback: fast path
+        pretrain_path=None,
+        batch_size_sr=2,
+        lr_sr=1e-3,
+        n_patches=4,                    # 2 steps
+        save_iters_sr=100,
+        num_slices=4,
+        patch_size=16,
+        slice_thickness=4.0,
+        target_thickness=1.0,
+        blur_kernel="rf-pulse-slr",
+        random_flip=True,
+        nnunet_transform=False,
+        enable_uncertainty=True,
+        batch_size_segsr=1,
+        lr_segsr=1e-3,
+        epochs=1,
+        save_iters_segsr=1000,          # skip in-loop eval
+        enable_distillation=True,
+        lambda_l1=0.0,
+        lambda_cosine=1.0,
+        lambda_structure=1.0,
+        fold=None,
+        uncertainty_steps=1,
+    )
+    cfg.extra = {
+        "wdsr_n_resblocks": 1,
+        "wdsr_num_channels": 4,
+        "arch_override": TINY_ARCH,
+        "patch_size_zyx": [4, 16, 16],
+        "eval_mirror": False,
+    }
+    return cfg
+
+
+def test_merge_images_and_labels(synthetic_dataset):
+    out = synthetic_dataset / "merged"
+    merge_images_and_labels(str(synthetic_dataset / "imagesTr"), str(out))
+    from rehrseg_tpu.io import nifti
+    merged = nifti.load(str(out / "sub1_0000.nii.gz"))
+    assert merged.shape == (24, 24, 8, 2)
+    assert merged.header.get_zooms()[:3] == (1.0, 1.0, 4.0)
+    assert set(np.unique(merged.data[..., 1])).issubset({0.0, 1.0})
+
+
+@pytest.mark.slow
+def test_full_pipeline_e2e(synthetic_dataset):
+    cfg = _tiny_config(synthetic_dataset)
+    pipe = Pipeline(cfg)
+    seg_model, state, _ = pipe.run()
+
+    # stage-1 artifacts exist
+    assert os.path.exists(os.path.join(pipe.sr_h5_path, "sub1_0000.nii.gz.h5"))
+    flavr_img = os.path.join(pipe.flavr_output_path, "sub1_0000_img.nii.gz")
+    assert os.path.exists(flavr_img)
+    assert os.path.exists(os.path.join(pipe.flavr_output_path,
+                                       "sub1_0000_uncertainty.nii.gz"))
+    # SR volume has ~4x slices: 4*(z_pad-1)
+    from rehrseg_tpu.io import nifti
+    sr = nifti.load(flavr_img)
+    assert sr.shape[2] == 4 * (8 - 1)
+    # stage-2 h5 + checkpoint exist
+    assert os.path.exists(os.path.join(pipe.segsr_h5_path, "sub1_0000.h5"))
+    assert int(state.step) >= 1
+
+    # resume: second run skips all stages via artifacts/checkpoints
+    pipe2 = Pipeline(cfg)
+    seg_model2, state2, _ = pipe2.run()
+    assert int(state2.step) >= int(state.step)
