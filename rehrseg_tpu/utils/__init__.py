@@ -7,4 +7,6 @@ from .patch import (
     get_patch,
     get_random_centers,
 )
-from .timer import timer_context
+from .timer import timer_context, StepTimer
+from .rotate import rotate_vol_2d
+from .progress import parse_device, LossProgBar

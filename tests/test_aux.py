@@ -1,0 +1,164 @@
+"""Tests for auxiliary components: rotation, sobel, legacy datasets,
+checkpointing, torch import, config."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_rotate_vol_2d(rng):
+    from rehrseg_tpu.utils import rotate_vol_2d
+    vol = rng.normal(size=(6, 6, 3))
+    assert np.array_equal(rotate_vol_2d(vol, 0), vol)
+    r90 = rotate_vol_2d(vol, 90)
+    assert np.array_equal(rotate_vol_2d(r90, -90), vol)
+    assert np.array_equal(rotate_vol_2d(vol, 180),
+                          rotate_vol_2d(rotate_vol_2d(vol, 90), 90))
+    with pytest.raises(NotImplementedError):
+        rotate_vol_2d(vol, 45)
+
+
+def test_sobel_edges_detects_edges(rng):
+    from rehrseg_tpu.models.sobel import sobel_edges, sobel_l1_loss
+    img = np.zeros((1, 16, 16, 1), dtype=np.float32)
+    img[:, :, 8:] = 1.0
+    edges = np.asarray(sobel_edges(jnp.asarray(img)))
+    assert edges[0, 8, 7, 0] > 0.2      # strong response at the edge
+    assert edges[0, 8, 2, 0] < 0.01     # flat region
+    loss = float(sobel_l1_loss(jnp.asarray(img), jnp.asarray(img)))
+    assert loss == pytest.approx(0.0, abs=1e-7)
+
+
+def test_legacy_trainset(rng):
+    from rehrseg_tpu.data.legacy import LegacyTrainSet
+    from rehrseg_tpu.ops.blur import parse_kernel, calc_extended_patch_size
+    image = rng.normal(size=(32, 32, 8, 2)).astype(np.float32)
+    kernel = parse_kernel(None, "rf-pulse-slr", 3.873)
+    patch = (16, 16, 1)
+    ext, crop_slices = calc_extended_patch_size(kernel, list(patch))
+    crop = (slice(None), slice(None)) + crop_slices
+    ds = LegacyTrainSet(image, 4.0, tuple(ext), crop, kernel, n_patches=4)
+    lr, hr = ds[0]
+    assert hr.shape == (2, 16, 16)
+    assert lr.shape == (2, 4, 16)
+
+
+def test_legacy_segsr_dataset(tmp_path, rng):
+    from rehrseg_tpu.data.legacy import LegacySegSRDataset
+    from rehrseg_tpu.io.nifti import NiftiImage, save
+    merged = rng.normal(size=(24, 24, 8, 2)).astype(np.float32)
+    merged[..., 1] = (merged[..., 1] > 1)
+    save(NiftiImage(data=merged, affine=np.diag([1.0, 1.0, 4.0, 1.0])),
+         str(tmp_path / "s1_0000.nii.gz"))
+    ds = LegacySegSRDataset(str(tmp_path), ["s1"], 4.0, 1.0, (16, 16, 4),
+                            random_flip=True)
+    img, lab = ds[0]
+    assert img.shape == (4, 16, 16, 1)
+    assert lab.shape == (4, 16, 16, 1)
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    from rehrseg_tpu.train import TrainState, onecycle_adam
+    from rehrseg_tpu.train import checkpoint as ckpt
+    params = {"params": {"w": jnp.asarray(rng.normal(size=(4, 4)).astype(np.float32))}}
+    tx, _ = onecycle_adam(1e-3, 10)
+    state = TrainState.create(params, tx)
+    state = TrainState(params=state.params, opt_state=state.opt_state, step=7)
+    d = str(tmp_path / "ck")
+    ckpt.save_checkpoint(d, state)
+    assert ckpt.has_checkpoint(d)
+    assert ckpt.latest_step(d) == 7
+    blank = TrainState.create(
+        {"params": {"w": jnp.zeros((4, 4), jnp.float32)}}, tx)
+    restored = ckpt.restore_checkpoint(d, blank)
+    assert restored.step == 7
+    assert np.allclose(restored.params["params"]["w"],
+                       np.asarray(params["params"]["w"]))
+
+
+def test_torch_import_flavr_values(rng):
+    """torch weights land in the right flax slots with correct transposes."""
+    import torch
+    from rehrseg_tpu.models import UNet3D
+    from rehrseg_tpu.train import torch_import as ti
+
+    model = UNet3D(img_channels=2, n_inputs=4, n_outputs=4)
+    x = jnp.zeros((1, 4, 16, 16, 2))
+    params = model.init(jax.random.key(0), x)
+
+    w = rng.normal(size=(64, 64, 3, 3, 3)).astype(np.float32)
+    b = rng.normal(size=(64,)).astype(np.float32)
+    sd = {"module.encoder.layer1.0.conv1.0.weight": torch.from_numpy(w),
+          "encoder.layer1.0.conv1.0.bias": torch.from_numpy(b),
+          "encoder.stem.0.weight": torch.from_numpy(
+              rng.normal(size=(64, 2, 3, 7, 7)).astype(np.float32))}
+    sd = {k: v for k, v in sd.items()}
+    sd_np = {k: v.numpy() for k, v in sd.items()}
+    new, loaded, skipped = ti.import_flavr(
+        params, sd_np, drop=("encoder.stem.0",))
+    # stem dropped per filter; layer1 conv loaded with (O,I,K)->(K,I,O)
+    assert "encoder.stem.0.weight" not in loaded
+    got = np.asarray(new["params"]["encoder"]["layer1_0"]["conv1"]["kernel"])
+    assert np.allclose(got, w.transpose(2, 3, 4, 1, 0))
+    got_b = np.asarray(new["params"]["encoder"]["layer1_0"]["conv1"]["bias"])
+    assert np.allclose(got_b, b)
+
+
+def test_torch_import_segmodel(rng):
+    import torch
+    from rehrseg_tpu.models import SegModel
+    from rehrseg_tpu.train import torch_import as ti
+    from tests.test_models import SMALL_ARCH
+
+    model = SegModel(num_classes=2, upscale=4, arch=SMALL_ARCH)
+    x = jnp.zeros((1, 4, 16, 16, 1))
+    params = model.init(jax.random.key(0), x)
+    w = rng.normal(size=(8, 1, 1, 3, 3)).astype(np.float32)
+    nw = rng.normal(size=(8,)).astype(np.float32)
+    sd = {"encoder.stages.0.convs.0.all_modules.0.weight": w,
+          "encoder.stages.0.convs.0.all_modules.1.weight": nw}
+    new, loaded, _ = ti.import_segmodel(params, sd, SMALL_ARCH)
+    got = np.asarray(new["params"]["encoder"]["stage_0"]["conv_0"]["conv"]["kernel"])
+    assert np.allclose(got, w.transpose(2, 3, 4, 1, 0))
+    got_n = np.asarray(new["params"]["encoder"]["stage_0"]["conv_0"]["norm"]["scale"])
+    assert np.allclose(got_n, nw)
+
+
+def test_torch_import_wdsr(rng):
+    from rehrseg_tpu.models import WDSR
+    from rehrseg_tpu.train import torch_import as ti
+    model = WDSR(out_channel=2, n_resblocks=2, num_channels=8, scale=4.0)
+    x = jnp.zeros((1, 8, 8, 2))
+    params = model.init(jax.random.key(0), x)
+    wv = rng.normal(size=(8, 2, 3, 3)).astype(np.float32)
+    wg = rng.normal(size=(8, 1, 1, 1)).astype(np.float32)
+    sd = {"head.weight_v": wv, "head.weight_g": wg,
+          "head.bias": rng.normal(size=(8,)).astype(np.float32)}
+    new, loaded, _ = ti.import_wdsr(params, sd, n_resblocks=2)
+    assert np.allclose(np.asarray(new["params"]["head"]["v"]),
+                       wv.transpose(2, 3, 1, 0))
+    assert np.allclose(np.asarray(new["params"]["head"]["g"]), wg.reshape(-1))
+
+
+def test_config_loading(tmp_path):
+    from rehrseg_tpu.config import load_config
+    cfg_yaml = tmp_path / "c.yaml"
+    cfg_yaml.write_text(
+        "data_path: /x\nbatch_size_sr: 4\nlr_sr: 0.001\n"
+        "slice_thickness: 4.0\ntarget_thickness: 1.0\ncustom_key: 7\n")
+    cfg = load_config(str(cfg_yaml), fold=2)
+    assert cfg.batch_size_sr == 4
+    assert cfg.fold == 2
+    assert cfg.slice_separation == 4.0
+    assert cfg.extra["custom_key"] == 7
+
+
+def test_augment_3d_image(rng):
+    from rehrseg_tpu.data.legacy import augment_3d_image
+    x = rng.normal(size=(2, 8, 8))
+    out = augment_3d_image(x, rng)
+    assert out.shape == x.shape
