@@ -42,7 +42,7 @@ EST_MFU = 0.40
 
 def main():
     from rehrseg_tpu.models import SegModel, DEFAULT_ARCH
-    from rehrseg_tpu.infer import predict_sliding_window_logits
+    from rehrseg_tpu.infer import predict_sliding_window_labels
     from rehrseg_tpu.utils.pad import target_pad
 
     model = SegModel(num_classes=2, upscale=4, arch=dict(DEFAULT_ARCH))
@@ -59,7 +59,9 @@ def main():
     vol_p, _ = target_pad(vol, target_shape, mode="constant")
 
     def run():
-        return predict_sliding_window_logits(
+        # device-side argmax: output is the segmentation label map, matching
+        # the reference evaluate_case output (seg_utils.py:757-762)
+        return predict_sliding_window_labels(
             lr_fn, params, vol_p, PATCH, slice_separation=1,
             tile_step_size=TILE_STEP, use_gaussian=True, mirror=MIRROR,
             num_classes=2)

@@ -124,23 +124,15 @@ def _sliding_window_scan(model_fn: Callable, params, data: jnp.ndarray,
     return logits, weights
 
 
-def predict_sliding_window_logits(model_fn: Callable, params,
-                                  data: np.ndarray,
-                                  patch_size: Sequence[int],
-                                  *,
-                                  slice_separation: int = 1,
-                                  tile_step_size: float = 0.5,
-                                  use_gaussian: bool = True,
-                                  mirror: bool = True,
-                                  num_classes: int = 2) -> np.ndarray:
-    """Full sliding-window prediction of one volume.
+def _run_sliding_window(model_fn: Callable, params, data: np.ndarray,
+                        patch_size, slice_separation, tile_step_size,
+                        use_gaussian, mirror, num_classes,
+                        input_dtype=jnp.bfloat16):
+    """Shared device-side pass; returns (logits, weights) ON DEVICE.
 
-    model_fn(params, batch) must map (B, pd, ph, pw, C) ->
-    (B, pd*slice_separation, ph, pw, num_classes): the head selection
-    (LR vs HR) is folded into model_fn by the caller.
-
-    data: (D, H, W, C) numpy volume (already normalized). Returns
-    (D*slice_separation, H, W, num_classes) fp32 logits.
+    Uploads the volume as bf16 by default — the normalized input easily fits
+    bf16 precision and host<->device bandwidth is the scarce resource on a
+    tunneled chip.
     """
     patch_size = tuple(int(p) for p in patch_size)
     if use_gaussian:
@@ -152,14 +144,64 @@ def predict_sliding_window_logits(model_fn: Callable, params,
 
     starts = sliding_window_starts(data.shape[:3], patch_size, tile_step_size)
     out_shape = (data.shape[0] * slice_separation, data.shape[1], data.shape[2])
-    logits, weights = _sliding_window_scan(
-        model_fn, params, jnp.asarray(data), jnp.asarray(starts),
+    dev_data = jnp.asarray(np.asarray(data, dtype=np.float32), dtype=input_dtype) \
+        if input_dtype is not None else jnp.asarray(data)
+    return _sliding_window_scan(
+        model_fn, params, dev_data, jnp.asarray(starts),
         jnp.asarray(g), patch_size, out_shape, int(slice_separation),
         bool(mirror), int(num_classes))
+
+
+def predict_sliding_window_logits(model_fn: Callable, params,
+                                  data: np.ndarray,
+                                  patch_size: Sequence[int],
+                                  *,
+                                  slice_separation: int = 1,
+                                  tile_step_size: float = 0.5,
+                                  use_gaussian: bool = True,
+                                  mirror: bool = True,
+                                  num_classes: int = 2,
+                                  input_dtype=jnp.bfloat16) -> np.ndarray:
+    """Full sliding-window prediction of one volume.
+
+    model_fn(params, batch) must map (B, pd, ph, pw, C) ->
+    (B, pd*slice_separation, ph, pw, num_classes): the head selection
+    (LR vs HR) is folded into model_fn by the caller.
+
+    data: (D, H, W, C) numpy volume (already normalized). Returns
+    (D*slice_separation, H, W, num_classes) fp32 logits.
+    """
+    logits, weights = _run_sliding_window(
+        model_fn, params, data, patch_size, slice_separation, tile_step_size,
+        use_gaussian, mirror, num_classes, input_dtype)
     logits = np.asarray(logits / weights[..., None])
     if np.any(np.isinf(logits)):
         raise RuntimeError("Encountered inf in predicted array.")
     return logits
+
+
+@partial(jax.jit, static_argnames=())
+def _argmax_uint8(logits, weights):
+    return jnp.argmax(logits / weights[..., None], axis=-1).astype(jnp.uint8)
+
+
+def predict_sliding_window_labels(model_fn: Callable, params,
+                                  data: np.ndarray,
+                                  patch_size: Sequence[int],
+                                  *,
+                                  slice_separation: int = 1,
+                                  tile_step_size: float = 0.5,
+                                  use_gaussian: bool = True,
+                                  mirror: bool = True,
+                                  num_classes: int = 2,
+                                  input_dtype=jnp.bfloat16) -> np.ndarray:
+    """Like :func:`predict_sliding_window_logits` but argmaxes ON DEVICE and
+    fetches only the uint8 label map — 8x less tunnel traffic, the right
+    call when probabilities aren't needed (argmax(softmax) == argmax)."""
+    logits, weights = _run_sliding_window(
+        model_fn, params, data, patch_size, slice_separation, tile_step_size,
+        use_gaussian, mirror, num_classes, input_dtype)
+    return np.asarray(_argmax_uint8(logits, weights))
 
 
 def evaluate_case_volume(model_fn: Callable, params, volume: np.ndarray,
@@ -186,13 +228,11 @@ def evaluate_case_volume(model_fn: Callable, params, volume: np.ndarray,
     target_shape = [max(s, p) for s, p in zip(vol.shape[:3], patch_size)]
     vol_p, pads = target_pad(vol, target_shape + [1], mode="constant")
 
-    logits = predict_sliding_window_logits(
+    pred_full = predict_sliding_window_labels(
         model_fn, params, vol_p, patch_size,
         slice_separation=1, tile_step_size=tile_step_size,
         use_gaussian=True, mirror=mirror, num_classes=num_classes)
-    logits = crop(logits, pads[:3] + ((0, 0),))
-    probs = jax.nn.softmax(jnp.asarray(logits), axis=-1)
-    pred_lr = np.asarray(jnp.argmax(probs, axis=-1)).astype(np.uint8)
+    pred_lr = crop(pred_full, pads[:3])
 
     dice_lr = None
     if label is not None:
@@ -200,13 +240,12 @@ def evaluate_case_volume(model_fn: Callable, params, volume: np.ndarray,
 
     pred_hr = pred_lr
     if hr_model_fn is not None:
-        logits_hr = predict_sliding_window_logits(
+        pred_hr_full = predict_sliding_window_labels(
             hr_model_fn, params, vol_p, patch_size,
             slice_separation=slice_separation, tile_step_size=tile_step_size,
             use_gaussian=True, mirror=mirror, num_classes=num_classes)
         hr_pads = ((pads[0][0] * slice_separation,
-                    pads[0][1] * slice_separation),) + pads[1:3] + ((0, 0),)
-        logits_hr = crop(logits_hr, hr_pads)
-        pred_hr = np.asarray(jnp.argmax(jnp.asarray(logits_hr), axis=-1)).astype(np.uint8)
+                    pads[0][1] * slice_separation),) + pads[1:3]
+        pred_hr = crop(pred_hr_full, hr_pads)
 
     return pred_lr, pred_hr, dice_lr

@@ -96,10 +96,23 @@ def _open_maybe_gz(path: str, mode: str):
     return open(path, mode)
 
 
+def _read_maybe_gz(path: str) -> bytes:
+    """Read (and inflate) file contents; uses the native zlib path when the
+    C++ host library is available (rehrseg_tpu.native)."""
+    with open(path, "rb") as f:
+        raw = f.read()
+    if str(path).endswith(".gz"):
+        try:
+            from .. import native
+            return native.gunzip(raw)
+        except Exception:
+            return gzip.decompress(raw)
+    return raw
+
+
 def load(path: str) -> NiftiImage:
     """Read a .nii or .nii.gz file (nibabel.load parity for our use cases)."""
-    with _open_maybe_gz(path, "rb") as f:
-        raw = f.read()
+    raw = _read_maybe_gz(path)
     if len(raw) < _HDR_SIZE:
         raise ValueError(f"{path}: truncated NIfTI header")
     (sizeof_hdr,) = struct.unpack_from("<i", raw, 0)

@@ -71,8 +71,10 @@ def test_mirror_tta_flip_equivariance():
         # logits = broadcast input channel to 2 classes: flip-equivariant
         return jnp.concatenate([batch, batch], axis=-1)
 
+    import jax.numpy as jnp
     logits = predict_sliding_window_logits(
-        identity_model, None, data, (8, 16, 16), mirror=True)
+        identity_model, None, data, (8, 16, 16), mirror=True,
+        input_dtype=jnp.float32)
     # one tile covering everything; flip-equivariant model → mean over TTA
     # equals the unflipped output
     assert np.allclose(logits[..., 0], data[..., 0], atol=1e-4)
