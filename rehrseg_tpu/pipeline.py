@@ -108,16 +108,33 @@ def _train_sr_loop(model, tx, state, loader, step_fn, n_steps, save_iters,
     return state
 
 
+_MODEL_FN_CACHE: dict = {}
+
+
+def seg_model_fns(seg_model):
+    """Cached (lr_fn, hr_fn) for a SegModel instance. The sliding-window jit
+    keys on the model_fn object, so these must be stable across evaluate
+    calls to avoid recompilation."""
+    key = id(seg_model)
+    if key not in _MODEL_FN_CACHE:
+        def lr_fn(p, batch):
+            return seg_model.apply(p, batch)[0]
+
+        def hr_fn(p, batch):
+            return seg_model.apply(p, batch)[1]
+
+        _MODEL_FN_CACHE[key] = (lr_fn, hr_fn)
+    return _MODEL_FN_CACHE[key]
+
+
 def evaluate(seg_model, seg_params, patch_size, val_img_path, val_label_path,
              split, slice_separation, save_path=None, eval_hr=False,
              mirror=True):
     """Fold evaluation (train_all.py:154-193): per-subject + global dice."""
     all_dice, all_pred, all_label = [], [], []
 
-    def lr_fn(p, batch):
-        return seg_model.apply(p, batch)[0]
-
-    hr_fn = (lambda p, batch: seg_model.apply(p, batch)[1]) if eval_hr else None
+    lr_fn, hr_fn_full = seg_model_fns(seg_model)
+    hr_fn = hr_fn_full if eval_hr else None
 
     for subject in split:
         img_path = os.path.join(val_img_path, subject + "_0000.nii.gz")
@@ -492,7 +509,14 @@ class Pipeline:
         loader = BatchLoader(ds, c.batch_size_segsr)
         iters_per_epoch = max(len(ds) // c.batch_size_segsr, 1)
         sched = poly_epoch_schedule(c.lr_segsr, c.epochs, iters_per_epoch)
-        tx = nesterov_sgd(sched)
+        if c.enable_distillation:
+            # uniform params chain (reference train_all.py:511-513)
+            tx = nesterov_sgd(sched)
+        else:
+            # per-group LR: sr_head full LR; rest LR/10, no weight decay
+            # (separate_weight_extensive_params, train_all.py:64-83,510)
+            from .train.optim import nesterov_sgd_grouped
+            tx = nesterov_sgd_grouped(c.lr_segsr, sched)
         state = TrainState.create(params, tx)
         if ckpt.has_checkpoint(self.segsr_ckpt):
             state = ckpt.restore_checkpoint(self.segsr_ckpt, state)

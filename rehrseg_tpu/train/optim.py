@@ -25,16 +25,13 @@ def onecycle_adam(max_lr: float, total_steps: int,
 def poly_epoch_schedule(base_lr: float, total_epochs: int,
                         iters_per_epoch: int, power: float = 1.0):
     """PolynomialLR stepped once per epoch, expressed on the iteration axis."""
+    import jax.numpy as jnp
+
     def sched(count):
         epoch = count // max(iters_per_epoch, 1)
-        frac = 1.0 - jnp_minimum(epoch, total_epochs) / total_epochs
+        frac = 1.0 - jnp.minimum(epoch, total_epochs) / total_epochs
         return base_lr * frac ** power
     return sched
-
-
-def jnp_minimum(a, b):
-    import jax.numpy as jnp
-    return jnp.minimum(a, b)
 
 
 def nesterov_sgd(schedule, momentum: float = 0.99,
@@ -46,3 +43,37 @@ def nesterov_sgd(schedule, momentum: float = 0.99,
         optax.trace(decay=momentum, nesterov=True),
         optax.scale_by_learning_rate(schedule),
     )
+
+
+def sr_head_label_fn(params) -> dict:
+    """Label each param subtree: 'sr_head' for the SR head, 'other' else
+    (reference separate_weight_extensive_params, train_all.py:64-83)."""
+    def label_tree(tree, path=()):
+        if not isinstance(tree, dict):
+            return "sr_head" if any("sr_head" in str(p) for p in path) else "other"
+        return {k: label_tree(v, path + (k,)) for k, v in tree.items()}
+
+    return label_tree(params)
+
+
+def nesterov_sgd_grouped(base_lr: float, schedule,
+                         momentum: float = 0.99,
+                         weight_decay: float = 3e-5):
+    """Per-group optimizer matching separate_weight_extensive_params
+    (train_all.py:64-83, used when distillation is off at 510-513):
+    `sr_head` params train at the full LR with weight decay; all other
+    params at base_lr/10 with NO weight decay. `schedule` must be the
+    full-LR schedule; the 'other' group scales it by 0.1.
+    """
+    import optax as _optax
+
+    def scaled(s, factor):
+        return lambda count: s(count) * factor
+
+    sr_tx = nesterov_sgd(schedule, momentum, weight_decay)
+    other_tx = _optax.chain(
+        _optax.trace(decay=momentum, nesterov=True),
+        _optax.scale_by_learning_rate(scaled(schedule, 0.1)),
+    )
+    return _optax.multi_transform(
+        {"sr_head": sr_tx, "other": other_tx}, sr_head_label_fn)
