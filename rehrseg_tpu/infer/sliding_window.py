@@ -124,6 +124,27 @@ def _sliding_window_scan(model_fn: Callable, params, data: jnp.ndarray,
     return logits, weights
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=32)
+def _device_gaussian(out_patch: tuple, use_gaussian: bool):
+    """Gaussian importance map cached ON DEVICE (it re-uploads megabytes per
+    volume otherwise, and host<->device bandwidth is scarce on a tunneled
+    chip)."""
+    if use_gaussian:
+        g = compute_gaussian(out_patch, 1.0 / 8, 10.0)
+    else:
+        g = np.ones(out_patch, dtype=np.float32)
+    return jnp.asarray(g)
+
+
+@lru_cache(maxsize=64)
+def _device_starts(image_size: tuple, patch_size: tuple, tile_step_size: float):
+    return jnp.asarray(sliding_window_starts(image_size, patch_size,
+                                             tile_step_size))
+
+
 def _run_sliding_window(model_fn: Callable, params, data: np.ndarray,
                         patch_size, slice_separation, tile_step_size,
                         use_gaussian, mirror, num_classes,
@@ -135,20 +156,16 @@ def _run_sliding_window(model_fn: Callable, params, data: np.ndarray,
     tunneled chip.
     """
     patch_size = tuple(int(p) for p in patch_size)
-    if use_gaussian:
-        g = compute_gaussian((patch_size[0] * slice_separation,) + patch_size[1:],
-                             1.0 / 8, 10.0)
-    else:
-        g = np.ones((patch_size[0] * slice_separation,) + patch_size[1:],
-                    dtype=np.float32)
-
-    starts = sliding_window_starts(data.shape[:3], patch_size, tile_step_size)
+    out_patch = (patch_size[0] * slice_separation,) + patch_size[1:]
+    g = _device_gaussian(out_patch, bool(use_gaussian))
+    starts = _device_starts(tuple(data.shape[:3]), patch_size,
+                            float(tile_step_size))
     out_shape = (data.shape[0] * slice_separation, data.shape[1], data.shape[2])
     dev_data = jnp.asarray(np.asarray(data, dtype=np.float32), dtype=input_dtype) \
         if input_dtype is not None else jnp.asarray(data)
     return _sliding_window_scan(
-        model_fn, params, dev_data, jnp.asarray(starts),
-        jnp.asarray(g), patch_size, out_shape, int(slice_separation),
+        model_fn, params, dev_data, starts,
+        g, patch_size, out_shape, int(slice_separation),
         bool(mirror), int(num_classes))
 
 
