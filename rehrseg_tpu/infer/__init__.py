@@ -3,6 +3,7 @@ from .sliding_window import (
     sliding_window_starts,
     predict_sliding_window_logits,
     predict_sliding_window_labels,
+    predict_sliding_window_dual_labels,
     evaluate_case_volume,
 )
 from .sr_infer import (

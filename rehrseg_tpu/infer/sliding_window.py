@@ -197,6 +197,91 @@ def predict_sliding_window_logits(model_fn: Callable, params,
     return logits
 
 
+@partial(jax.jit, static_argnames=("model_fn", "patch_size", "out_shape",
+                                   "z_scale", "mirror", "num_classes"))
+def _sliding_window_scan_dual(model_fn: Callable, params, data: jnp.ndarray,
+                              starts: jnp.ndarray, gaussian_lr: jnp.ndarray,
+                              gaussian_hr: jnp.ndarray, patch_size: tuple,
+                              out_shape: tuple, z_scale: int, mirror: bool,
+                              num_classes: int):
+    """Dual-head tile loop: model_fn returns (lr_pred, hr_pred); both heads
+    accumulate in one pass sharing the encoder/decoder compute.
+
+    The reference runs the entire sliding window twice for HR results
+    (seg_utils.py:753 + 775); here the second head is nearly free.
+    """
+    pd, ph, pw = patch_size
+    od_hr = pd * z_scale
+    combos = _flip_axes_combinations(3) if mirror else [()]
+
+    d_lr, h_, w_ = out_shape
+    logits_lr0 = jnp.zeros((d_lr, h_, w_, num_classes), dtype=jnp.float32)
+    weights_lr0 = jnp.zeros((d_lr, h_, w_), dtype=jnp.float32)
+    logits_hr0 = jnp.zeros((d_lr * z_scale, h_, w_, num_classes),
+                           dtype=jnp.float32)
+    weights_hr0 = jnp.zeros((d_lr * z_scale, h_, w_), dtype=jnp.float32)
+
+    def tile_step(carry, start):
+        llr, wlr, lhr, whr = carry
+        sx, sy, sz = start[0], start[1], start[2]
+        tile = lax.dynamic_slice(
+            data, (sx, sy, sz, 0), (pd, ph, pw, data.shape[-1]))
+        batch = _mirror_batch(tile, combos)
+        pred_lr_b, pred_hr_b = model_fn(params, batch)
+        pred_lr = _unmirror_mean(pred_lr_b, combos).astype(jnp.float32)
+        pred_hr = _unmirror_mean(pred_hr_b, combos).astype(jnp.float32)
+
+        cur = lax.dynamic_slice(llr, (sx, sy, sz, 0), (pd, ph, pw, num_classes))
+        llr = lax.dynamic_update_slice(
+            llr, cur + pred_lr * gaussian_lr[..., None], (sx, sy, sz, 0))
+        curw = lax.dynamic_slice(wlr, (sx, sy, sz), (pd, ph, pw))
+        wlr = lax.dynamic_update_slice(wlr, curw + gaussian_lr, (sx, sy, sz))
+
+        zo = sx * z_scale
+        cur = lax.dynamic_slice(lhr, (zo, sy, sz, 0),
+                                (od_hr, ph, pw, num_classes))
+        lhr = lax.dynamic_update_slice(
+            lhr, cur + pred_hr * gaussian_hr[..., None], (zo, sy, sz, 0))
+        curw = lax.dynamic_slice(whr, (zo, sy, sz), (od_hr, ph, pw))
+        whr = lax.dynamic_update_slice(whr, curw + gaussian_hr, (zo, sy, sz))
+        return (llr, wlr, lhr, whr), None
+
+    carry, _ = lax.scan(tile_step,
+                        (logits_lr0, weights_lr0, logits_hr0, weights_hr0),
+                        starts)
+    return carry
+
+
+def predict_sliding_window_dual_labels(model_fn: Callable, params,
+                                       data: np.ndarray, patch_size,
+                                       *, slice_separation: int,
+                                       tile_step_size: float = 0.5,
+                                       use_gaussian: bool = True,
+                                       mirror: bool = True,
+                                       num_classes: int = 2,
+                                       input_dtype=jnp.bfloat16):
+    """One-pass LR+HR prediction: returns (lr_labels, hr_labels) uint8.
+
+    model_fn(params, batch) -> (lr_logits, hr_logits) with HR z-upscaled by
+    slice_separation.
+    """
+    patch_size = tuple(int(p) for p in patch_size)
+    g_lr = _device_gaussian(patch_size, bool(use_gaussian))
+    g_hr = _device_gaussian(
+        (patch_size[0] * slice_separation,) + patch_size[1:],
+        bool(use_gaussian))
+    starts = _device_starts(tuple(data.shape[:3]), patch_size,
+                            float(tile_step_size))
+    out_shape = tuple(data.shape[:3])
+    dev_data = jnp.asarray(np.asarray(data, dtype=np.float32),
+                           dtype=input_dtype)
+    llr, wlr, lhr, whr = _sliding_window_scan_dual(
+        model_fn, params, dev_data, starts, g_lr, g_hr, patch_size,
+        out_shape, int(slice_separation), bool(mirror), int(num_classes))
+    return (np.asarray(_argmax_uint8(llr, wlr)),
+            np.asarray(_argmax_uint8(lhr, whr)))
+
+
 @partial(jax.jit, static_argnames=())
 def _argmax_uint8(logits, weights):
     return jnp.argmax(logits / weights[..., None], axis=-1).astype(jnp.uint8)
@@ -225,6 +310,7 @@ def evaluate_case_volume(model_fn: Callable, params, volume: np.ndarray,
                          label: np.ndarray | None, patch_size,
                          *, slice_separation: int = 1,
                          hr_model_fn: Callable | None = None,
+                         dual_model_fn: Callable | None = None,
                          tile_step_size: float = 0.5,
                          mirror: bool = True, num_classes: int = 2):
     """Sliding-window evaluation of one (D, H, W) volume.
@@ -244,6 +330,20 @@ def evaluate_case_volume(model_fn: Callable, params, volume: np.ndarray,
     vol = zscore_normalization(volume)[..., None]  # (D, H, W, 1)
     target_shape = [max(s, p) for s, p in zip(vol.shape[:3], patch_size)]
     vol_p, pads = target_pad(vol, target_shape + [1], mode="constant")
+
+    if dual_model_fn is not None:
+        # one-pass LR+HR: both heads share the encoder/decoder compute
+        pred_lr_full, pred_hr_full = predict_sliding_window_dual_labels(
+            dual_model_fn, params, vol_p, patch_size,
+            slice_separation=slice_separation, tile_step_size=tile_step_size,
+            use_gaussian=True, mirror=mirror, num_classes=num_classes)
+        pred_lr = crop(pred_lr_full, pads[:3])
+        hr_pads = ((pads[0][0] * slice_separation,
+                    pads[0][1] * slice_separation),) + pads[1:3]
+        pred_hr = crop(pred_hr_full, hr_pads)
+        dice_lr = (calculate_dice(pred_lr, label.astype(np.uint8))
+                   if label is not None else None)
+        return pred_lr, pred_hr, dice_lr
 
     pred_full = predict_sliding_window_labels(
         model_fn, params, vol_p, patch_size,

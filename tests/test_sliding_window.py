@@ -139,3 +139,13 @@ def test_hr_pass_through_engine(rng):
         lr_fn, params, vol, None, (4, 16, 16), slice_separation=4,
         hr_model_fn=hr_fn, mirror=False)
     assert pred_hr.shape == (24, 24, 24)
+
+    # dual one-pass engine gives identical results to the two-pass path
+    def dual_fn(p, batch):
+        return model.apply(p, batch)
+
+    pred_lr2, pred_hr2, _ = evaluate_case_volume(
+        lr_fn, params, vol, None, (4, 16, 16), slice_separation=4,
+        dual_model_fn=dual_fn, mirror=False)
+    assert np.array_equal(pred_lr, pred_lr2)
+    assert np.array_equal(pred_hr, pred_hr2)
