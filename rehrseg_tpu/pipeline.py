@@ -120,10 +120,10 @@ def seg_model_fns(seg_model):
         def lr_fn(p, batch):
             return seg_model.apply(p, batch)[0]
 
-        def hr_fn(p, batch):
-            return seg_model.apply(p, batch)[1]
+        def dual_fn(p, batch):
+            return seg_model.apply(p, batch)
 
-        _MODEL_FN_CACHE[key] = (lr_fn, hr_fn)
+        _MODEL_FN_CACHE[key] = (lr_fn, dual_fn)
     return _MODEL_FN_CACHE[key]
 
 
@@ -133,8 +133,8 @@ def evaluate(seg_model, seg_params, patch_size, val_img_path, val_label_path,
     """Fold evaluation (train_all.py:154-193): per-subject + global dice."""
     all_dice, all_pred, all_label = [], [], []
 
-    lr_fn, hr_fn_full = seg_model_fns(seg_model)
-    hr_fn = hr_fn_full if eval_hr else None
+    lr_fn, dual_fn_full = seg_model_fns(seg_model)
+    dual_fn = dual_fn_full if eval_hr else None
 
     for subject in split:
         img_path = os.path.join(val_img_path, subject + "_0000.nii.gz")
@@ -143,7 +143,7 @@ def evaluate(seg_model, seg_params, patch_size, val_img_path, val_label_path,
         lab = nifti.read_image_itk(lab_path).array.astype(np.uint8)
         pred_lr, pred_hr, dice = evaluate_case_volume(
             lr_fn, seg_params, vol.astype(np.float32), lab, patch_size,
-            slice_separation=int(slice_separation), hr_model_fn=hr_fn,
+            slice_separation=int(slice_separation), dual_model_fn=dual_fn,
             mirror=mirror)
         if save_path is not None:
             os.makedirs(os.path.join(save_path, "val"), exist_ok=True)
