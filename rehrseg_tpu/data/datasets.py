@@ -211,13 +211,14 @@ class SegSRDataset:
     def __init__(self, image_path, split_subjects, slice_thickness,
                  target_thickness, patch_size_ori, target_patch_size,
                  random_flip=False, uncertainty=False, preload=True,
-                 norm=True, seed=0):
+                 norm=True, seed=0, device_augment=False):
         self.patch_size = tuple(patch_size_ori)        # (x, y, z) crop size
         self.target_patch_size = tuple(target_patch_size)
         self.separation = int(slice_thickness / target_thickness)
         self.random_flip = random_flip
         self.uncertainty = uncertainty
         self.norm = norm
+        self.device_augment = device_augment
         self.rng = np.random.default_rng(seed)
 
         self.imgs, self.labels, self.uncertainties = [], [], []
@@ -284,6 +285,18 @@ class SegSRDataset:
         # (x, y, z) -> transform layout (c=1, z, x, y)
         def to_c_zxy(a):
             return a.transpose(2, 0, 1)[None].copy()
+
+        if self.device_augment:
+            # raw crops; spatial + intensity augmentation happens on device
+            # (rehrseg_tpu.data.device_aug.augment_seg_batch)
+            def raw(a):
+                return np.moveaxis(to_c_zxy(a), 0, -1).astype(np.float32)
+            if self.uncertainty:
+                unc_raw = 1.0 - raw(unc[:, :, ::sep]) / 255.0 * 0.99
+            else:
+                unc_raw = np.zeros_like(raw(label_lr))
+            return {"img": raw(img_lr), "label_lr": raw(label_lr),
+                    "label_hr": raw(label), "uncertainty_lr": unc_raw}
 
         d = {"data": to_c_zxy(img_lr), "seg": to_c_zxy(label_lr),
              "seg_sr": to_c_zxy(label)}

@@ -503,10 +503,20 @@ class Pipeline:
                 flavr_params = fstate.params
 
         train_subjects, val_subjects = self.split_subjects()
+        device_augment = bool((c.extra or {}).get("device_augment", False))
         ds = SegSRDataset(self.segsr_h5_path, train_subjects,
                           c.slice_thickness, c.target_thickness, patch_ori,
-                          patch_xyz, c.random_flip, c.enable_uncertainty)
+                          patch_xyz, c.random_flip, c.enable_uncertainty,
+                          device_augment=device_augment)
         loader = BatchLoader(ds, c.batch_size_segsr)
+        aug_fn = None
+        if device_augment:
+            from .data.device_aug import augment_seg_batch
+            patch_hw = (patch_xyz[1], patch_xyz[0])  # in-plane (y, x)
+            aug_fn = jax.jit(lambda k, a, b, cc, d: augment_seg_batch(
+                k, a, b, cc, d, patch_hw=patch_hw,
+                enable_uncertainty=c.enable_uncertainty))
+        aug_key = jax.random.key(0)
         iters_per_epoch = max(len(ds) // c.batch_size_segsr, 1)
         sched = poly_epoch_schedule(c.lr_segsr, c.epochs, iters_per_epoch)
         if c.enable_distillation:
@@ -531,9 +541,18 @@ class Pipeline:
         print(f"TRAINING NETWORK REHRSeg ({total_steps} steps)")
         for it in range(int(state.step), total_steps):
             b = loader.next()
-            batch = SegBatch(jnp.asarray(b["img"]), jnp.asarray(b["label_lr"]),
-                             jnp.asarray(b["label_hr"]),
-                             jnp.asarray(b["uncertainty_lr"]))
+            if aug_fn is not None:
+                aug_key, sub = jax.random.split(aug_key)
+                img_a, llr_a, lhr_a, unc_a = aug_fn(
+                    sub, jnp.asarray(b["img"]), jnp.asarray(b["label_lr"]),
+                    jnp.asarray(b["label_hr"]),
+                    jnp.asarray(b["uncertainty_lr"]))
+                batch = SegBatch(img_a, llr_a, lhr_a, unc_a)
+            else:
+                batch = SegBatch(jnp.asarray(b["img"]),
+                                 jnp.asarray(b["label_lr"]),
+                                 jnp.asarray(b["label_hr"]),
+                                 jnp.asarray(b["uncertainty_lr"]))
             state, metrics = step_fn(state, flavr_params, batch)
             if (it + 1) % c.save_iters_segsr == 0:
                 seg_p = (state.params["seg"] if c.enable_distillation
