@@ -62,6 +62,29 @@ def flavr_teacher_features(flavr_model, flavr_params, img_lr: jnp.ndarray,
     return jax.lax.stop_gradient(out)
 
 
+def ds_scales_from_arch(arch: dict) -> list[tuple]:
+    """Per-decoder-output downsampling scales for deep supervision:
+    cumulative stride products, highest resolution first (nnUNet semantics;
+    the reference hardcodes the brain-config list at seg_utils.py:364)."""
+    strides = [tuple(s) if not isinstance(s, int) else (s, s, s)
+               for s in arch["strides"]]
+    scales = [(1, 1, 1)]
+    cur = np.ones(3, dtype=np.int64)
+    for s in strides[1:]:
+        cur = cur * np.asarray(s)
+        scales.append(tuple(int(v) for v in cur))
+    # decoder outputs: n_stages-1 resolutions, highest first
+    return scales[: len(strides) - 1]
+
+
+def downsample_label(label: jnp.ndarray, scale) -> jnp.ndarray:
+    """Nearest (strided) downsample of a (B, D, H, W, 1) label by integer
+    per-axis factors (DownsampleSegForDSTransform2 equivalent for the
+    integer-factor case)."""
+    sd, sh, sw = (int(s) for s in scale)
+    return label[:, ::sd, ::sh, ::sw]
+
+
 class SegBatch(NamedTuple):
     img: jnp.ndarray            # (B, D, H, W, 1) LR pseudo image
     label_lr: jnp.ndarray       # (B, D, H, W, 1)
@@ -74,13 +97,21 @@ def make_seg_train_step(seg_model, tx: optax.GradientTransformation,
                         enable_distillation: bool,
                         flavr_model=None,
                         distiller=None,
+                        deep_supervision: bool = False,
                         donate: bool = True) -> Callable:
     """Returns jitted step(state, flavr_params, batch) -> (state, metrics).
 
     `state.params` is {'seg': seg_params, 'distiller': distiller_params} when
     distillation is on (the reference optimizes both jointly,
-    train_all.py:511-513).
+    train_all.py:511-513). With deep_supervision the LR loss is the
+    exponentially-weighted sum over decoder resolutions
+    (seg_utils.py:363-371); the seg_model must be built with
+    deep_supervision=True.
     """
+    from ..losses import deep_supervision_weights
+
+    ds_scales = (ds_scales_from_arch(seg_model.arch)
+                 if deep_supervision else None)
 
     def loss_fn(params, flavr_params, batch: SegBatch):
         seg_params = params["seg"] if enable_distillation else params
@@ -88,9 +119,21 @@ def make_seg_train_step(seg_model, tx: optax.GradientTransformation,
             seg_params, batch.img, return_intermediate_feature=True)
 
         unc = batch.uncertainty_lr if enable_uncertainty else None
-        loss_lr = dc_and_weighted_ce(
-            lr_logits, batch.label_lr, unc,
-            weight_ce=1.0, weight_dice=0.0 if enable_uncertainty else 1.0)
+        weight_dice_lr = 0.0 if enable_uncertainty else 1.0
+        if deep_supervision:
+            weights = deep_supervision_weights(len(lr_logits))
+            loss_lr = 0.0
+            for w, lg, scale in zip(weights, lr_logits, ds_scales):
+                if w == 0.0:
+                    continue
+                tgt = downsample_label(batch.label_lr, scale)
+                u = downsample_label(unc, scale) if unc is not None else None
+                loss_lr = loss_lr + w * dc_and_weighted_ce(
+                    lg, tgt, u, weight_ce=1.0, weight_dice=weight_dice_lr)
+        else:
+            loss_lr = dc_and_weighted_ce(
+                lr_logits, batch.label_lr, unc,
+                weight_ce=1.0, weight_dice=weight_dice_lr)
         loss_hr = dc_and_weighted_ce(hr_logits, batch.label_hr, None,
                                      weight_ce=1.0, weight_dice=1.0)
         loss = loss_lr + loss_hr
