@@ -45,12 +45,13 @@ class SRPatchDataset:
     def __init__(self, image_path, split_subjects, slice_thickness,
                  target_thickness, blur_kernel_file, blur_kernel_name,
                  patch_size, random_flip, preload=True, blur=True,
-                 nnunet_transform=False, seed=0):
+                 nnunet_transform=False, seed=0, device_lr_sim=False):
         if len(patch_size) == 2:
             patch_size = (*patch_size, 1)
         self.patch_size = tuple(patch_size)
         self.random_flip = random_flip
         self.blur = blur
+        self.device_lr_sim = device_lr_sim
         self.slice_separation = float(slice_thickness / target_thickness)
         self.image_path = image_path
         self.rng = np.random.default_rng(seed)
@@ -171,18 +172,24 @@ class SRPatchDataset:
                 lr = img.copy()
 
         img_hr_p = np.concatenate([img, lab], axis=1)  # (z, 2, x, y)
-        # simulate LR: B-spline downsample the through-plane (x) axis
-        lr = resize_1d_np(lr.astype(np.float64), sep, axis=2, order=3)
-        lab_lr = resize_1d_np(lab.astype(np.float64), sep, axis=2, order=0)
-        img_lr_p = np.concatenate([lr, lab_lr], axis=1)
+        if self.device_lr_sim:
+            # emit the pre-resize LR source; the rational downsample and the
+            # zero-slice dropout run on device (data.device_sr_sim)
+            img_lr_p = np.concatenate([lr, lab], axis=1)
+        else:
+            # simulate LR: B-spline downsample the through-plane (x) axis
+            lr = resize_1d_np(lr.astype(np.float64), sep, axis=2, order=3)
+            lab_lr = resize_1d_np(lab.astype(np.float64), sep, axis=2, order=0)
+            img_lr_p = np.concatenate([lr, lab_lr], axis=1)
 
         img_hr_p = img_hr_p.transpose(1, 2, 0, 3)  # (c, x, z, y)
         img_lr_p = img_lr_p.transpose(1, 2, 0, 3)
 
-        if img_hr_p.shape[2] > 1 and rng.random() < 0.1:
-            img_lr_p[:, 0:1] = 0.0
-        if img_hr_p.shape[2] > 1 and rng.random() < 0.1:
-            img_lr_p[:, -1:] = 0.0
+        if not self.device_lr_sim:
+            if img_hr_p.shape[2] > 1 and rng.random() < 0.1:
+                img_lr_p[:, 0:1] = 0.0
+            if img_hr_p.shape[2] > 1 and rng.random() < 0.1:
+                img_lr_p[:, -1:] = 0.0
 
         if self.random_flip:
             for axis in (1, 2, 3):
