@@ -91,12 +91,21 @@ def merge_images_and_labels(main_dir: str, output_dir: str) -> None:
 
 
 def _train_sr_loop(model, tx, state, loader, step_fn, n_steps, save_iters,
-                   weight_dir, log_every=100):
+                   weight_dir, log_every=100, lr_sim_sep=None):
+    """lr_sim_sep: when set, batches carry pre-resize LR sources and the
+    rational downsample runs on device (data.device_sr_sim)."""
+    if lr_sim_sep is not None:
+        from .data.device_sr_sim import simulate_lr_batch
+    sim_key = jax.random.key(17)
     timer = StepTimer()
     for it in range(int(state.step), n_steps):
         lr_b, hr_b = loader.next()
+        lr_b = jnp.asarray(lr_b)
+        if lr_sim_sep is not None:
+            sim_key, sub = jax.random.split(sim_key)
+            lr_b = simulate_lr_batch(sub, lr_b, float(lr_sim_sep))
         timer.start()
-        state, metrics = step_fn(state, jnp.asarray(lr_b), jnp.asarray(hr_b))
+        state, metrics = step_fn(state, lr_b, jnp.asarray(hr_b))
         jax.block_until_ready(metrics["loss"])
         timer.stop()
         if it > 0 and it % save_iters == 0:
@@ -249,15 +258,18 @@ class Pipeline:
             state = ckpt.restore_checkpoint(self.smore_ckpt, state)
         if int(state.step) < n_steps:
             print("TRAINING NETWORK SMORE")
+            dev_sim = bool((c.extra or {}).get("device_lr_sim", False))
             ds = SRPatchDataset(self.merge_data_path, train_subjects,
                                 c.slice_thickness, c.target_thickness, None,
                                 c.blur_kernel, patch_size, c.random_flip,
-                                blur=True, nnunet_transform=False)
+                                blur=True, nnunet_transform=False,
+                                device_lr_sim=dev_sim)
             loader = BatchLoader(ds, c.batch_size_sr)
             step_fn = make_sr_train_step(model, tx, enable_uncertainty=False,
                                          slice_separation=sep, num_slices=1)
             state = _train_sr_loop(model, tx, state, loader, step_fn, n_steps,
-                                   c.save_iters_sr, self.smore_ckpt)
+                                   c.save_iters_sr, self.smore_ckpt,
+                                   lr_sim_sep=sep if dev_sim else None)
 
         print("INFERENCE NETWORK SMORE")
         for subject in sorted(os.listdir(self.merge_data_path)):
@@ -286,12 +298,14 @@ class Pipeline:
 
     def _flavr_dataset(self, model):
         c = self.cfg
+        dev_sim = bool((c.extra or {}).get("device_lr_sim", False))
         lr_patch = [c.num_slices, c.patch_size, c.patch_size]
         patch_size = model.calc_out_patch_size(lr_patch)
         ds = SRPatchDataset(self.sr_h5_path, self.split_subjects()[0],
                             c.slice_thickness, c.target_thickness, None,
                             c.blur_kernel, patch_size, c.random_flip,
-                            blur=True, nnunet_transform=c.nnunet_transform)
+                            blur=True, nnunet_transform=c.nnunet_transform,
+                            device_lr_sim=dev_sim)
         return BatchLoader(ds, c.batch_size_sr)
 
     def stage1b_flavr(self):
@@ -313,12 +327,14 @@ class Pipeline:
             state = ckpt.restore_checkpoint(self.flavr_ckpt, state)
         if int(state.step) < n_steps:
             print("TRAINING NETWORK FLAVR")
+            dev_sim = bool((c.extra or {}).get("device_lr_sim", False))
             loader = self._flavr_dataset(model)
             step_fn = make_sr_train_step(model, tx, enable_uncertainty=False,
                                          slice_separation=sep,
                                          num_slices=c.num_slices)
             state = _train_sr_loop(model, tx, state, loader, step_fn, n_steps,
-                                   c.save_iters_sr, self.flavr_ckpt)
+                                   c.save_iters_sr, self.flavr_ckpt,
+                                   lr_sim_sep=sep if dev_sim else None)
 
         print("INFERENCE NETWORK FLAVR")
         self._flavr_inference(model, state.params, uncertainty=False)
@@ -402,12 +418,14 @@ class Pipeline:
             state = ckpt.restore_checkpoint(self.flavr_unc_ckpt, state)
         if int(state.step) < n_steps:
             print("TRAINING NETWORK FLAVR WITH UNCERTAINTY")
+            dev_sim = bool((c.extra or {}).get("device_lr_sim", False))
             loader = self._flavr_dataset(model)
             step_fn = make_sr_train_step(model, tx, enable_uncertainty=True,
                                          slice_separation=sep,
                                          num_slices=c.num_slices)
             state = _train_sr_loop(model, tx, state, loader, step_fn, n_steps,
-                                   c.save_iters_sr, self.flavr_unc_ckpt)
+                                   c.save_iters_sr, self.flavr_unc_ckpt,
+                                   lr_sim_sep=sep if dev_sim else None)
         print("INFERENCE NETWORK FLAVR WITH UNCERTAINTY")
         self._flavr_inference(model, state.params, uncertainty=True)
         return model, state
