@@ -95,6 +95,27 @@ def test_merge_images_and_labels(synthetic_dataset):
 
 
 @pytest.mark.slow
+def test_stage1a_smore_path(synthetic_dataset):
+    """WDSR-initialization branch: train tiny WDSR, run volume inference,
+    produce the stage-1 h5 store (train_all.py:265-320)."""
+    cfg = _tiny_config(synthetic_dataset)
+    cfg.smore_initialization = True
+    cfg.extra["device_lr_sim"] = True  # exercise the device LR-sim path
+    pipe = Pipeline(cfg)
+    pipe.preprocess()
+    pipe.stage1a_smore()
+    import h5py
+    p = os.path.join(pipe.sr_h5_path, "sub1_0000.nii.gz.h5")
+    assert os.path.exists(p)
+    with h5py.File(p) as f:
+        # WDSR upsamples z by 4
+        assert f["img_hr"].shape[2] == 32
+        assert f["label_hr"].shape[2] == 32
+        assert set(np.unique(f["label_hr"][:])).issubset({0, 1})
+        assert f["image_x_rgb"].shape[0] == 32  # (z, 1, x, y)
+
+
+@pytest.mark.slow
 def test_full_pipeline_e2e(synthetic_dataset):
     cfg = _tiny_config(synthetic_dataset)
     pipe = Pipeline(cfg)
