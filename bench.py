@@ -42,7 +42,8 @@ EST_MFU = 0.40
 
 def main():
     from rehrseg_tpu.models import SegModel, DEFAULT_ARCH
-    from rehrseg_tpu.infer import predict_sliding_window_labels
+    from rehrseg_tpu.infer.sliding_window import (
+        predict_sliding_window_labels_many)
     from rehrseg_tpu.utils.pad import target_pad
 
     model = SegModel(num_classes=2, upscale=4, arch=dict(DEFAULT_ARCH))
@@ -58,21 +59,23 @@ def main():
     target_shape = [max(s, p) for s, p in zip(vol.shape[:3], PATCH)] + [1]
     vol_p, _ = target_pad(vol, target_shape, mode="constant")
 
-    def run():
+    # distinct volume buffers so per-volume uploads are real
+    vols = [vol_p, vol_p.copy(), vol_p.copy(), vol_p.copy()]
+
+    def run(volumes):
         # device-side argmax: output is the segmentation label map, matching
-        # the reference evaluate_case output (seg_utils.py:757-762)
-        return predict_sliding_window_labels(
-            lr_fn, params, vol_p, PATCH, slice_separation=1,
+        # the reference evaluate_case output (seg_utils.py:757-762); multi-
+        # volume dispatch overlaps tunnel transfers with device compute
+        return predict_sliding_window_labels_many(
+            lr_fn, params, volumes, PATCH, slice_separation=1,
             tile_step_size=TILE_STEP, use_gaussian=True, mirror=MIRROR,
             num_classes=2)
 
     # warmup (compile)
-    out = run()
-    n_iters = 3
+    out = run(vols[:1])
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = run()
-    dt = (time.perf_counter() - t0) / n_iters
+    outs = run(vols)
+    dt = (time.perf_counter() - t0) / len(vols)
     voxels = int(np.prod(vol_p.shape[:3]))
     voxps = voxels / dt
 

@@ -87,12 +87,18 @@ def _unmirror_mean(preds: jnp.ndarray, combos):
 
 
 @partial(jax.jit, static_argnames=("model_fn", "patch_size", "out_shape",
-                                   "z_scale", "mirror", "num_classes"))
+                                   "z_scale", "mirror", "num_classes",
+                                   "tta_mesh"))
 def _sliding_window_scan(model_fn: Callable, params, data: jnp.ndarray,
                          starts: jnp.ndarray, gaussian: jnp.ndarray,
                          patch_size: tuple, out_shape: tuple, z_scale: int,
-                         mirror: bool, num_classes: int):
-    """Jitted tile loop. data: (D, H, W, C); returns (logits, weights)."""
+                         mirror: bool, num_classes: int, tta_mesh=None):
+    """Jitted tile loop. data: (D, H, W, C); returns (logits, weights).
+
+    With ``tta_mesh`` (a Mesh with a 'data' axis) the 8-way mirror-TTA batch
+    shards across chips — one flip per device, bit-identical results,
+    near-linear multi-chip inference speedup.
+    """
     pd, ph, pw = patch_size
     od = pd * z_scale
     combos = _flip_axes_combinations(3) if mirror else [()]
@@ -106,6 +112,10 @@ def _sliding_window_scan(model_fn: Callable, params, data: jnp.ndarray,
         tile = lax.dynamic_slice(
             data, (sx, sy, sz, 0), (pd, ph, pw, data.shape[-1]))
         batch = _mirror_batch(tile, combos)
+        if tta_mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            batch = lax.with_sharding_constraint(
+                batch, NamedSharding(tta_mesh, P("data")))
         preds = model_fn(params, batch)  # (n_tta, od, ph, pw, num_classes)
         pred = _unmirror_mean(preds, combos)
         pred = pred.astype(jnp.float32) * gaussian[..., None]
@@ -148,7 +158,7 @@ def _device_starts(image_size: tuple, patch_size: tuple, tile_step_size: float):
 def _run_sliding_window(model_fn: Callable, params, data: np.ndarray,
                         patch_size, slice_separation, tile_step_size,
                         use_gaussian, mirror, num_classes,
-                        input_dtype=jnp.bfloat16):
+                        input_dtype=jnp.bfloat16, tta_mesh=None):
     """Shared device-side pass; returns (logits, weights) ON DEVICE.
 
     Uploads the volume as bf16 by default — the normalized input easily fits
@@ -166,7 +176,7 @@ def _run_sliding_window(model_fn: Callable, params, data: np.ndarray,
     return _sliding_window_scan(
         model_fn, params, dev_data, starts,
         g, patch_size, out_shape, int(slice_separation),
-        bool(mirror), int(num_classes))
+        bool(mirror), int(num_classes), tta_mesh)
 
 
 def predict_sliding_window_logits(model_fn: Callable, params,
@@ -287,6 +297,30 @@ def _argmax_uint8(logits, weights):
     return jnp.argmax(logits / weights[..., None], axis=-1).astype(jnp.uint8)
 
 
+def predict_sliding_window_labels_many(model_fn: Callable, params,
+                                       volumes, patch_size,
+                                       *, slice_separation: int = 1,
+                                       tile_step_size: float = 0.5,
+                                       use_gaussian: bool = True,
+                                       mirror: bool = True,
+                                       num_classes: int = 2,
+                                       input_dtype=jnp.bfloat16):
+    """Throughput-oriented multi-volume prediction.
+
+    JAX dispatch is asynchronous: all volumes' scans are enqueued first, so
+    volume i+1's host->device upload and volume i's label download overlap
+    with device compute — on a tunneled chip the transfers otherwise add
+    ~25% per volume. Yields uint8 label maps in order.
+    """
+    pending = []
+    for data in volumes:
+        logits, weights = _run_sliding_window(
+            model_fn, params, data, patch_size, slice_separation,
+            tile_step_size, use_gaussian, mirror, num_classes, input_dtype)
+        pending.append(_argmax_uint8(logits, weights))
+    return [np.asarray(p) for p in pending]
+
+
 def predict_sliding_window_labels(model_fn: Callable, params,
                                   data: np.ndarray,
                                   patch_size: Sequence[int],
@@ -296,13 +330,17 @@ def predict_sliding_window_labels(model_fn: Callable, params,
                                   use_gaussian: bool = True,
                                   mirror: bool = True,
                                   num_classes: int = 2,
-                                  input_dtype=jnp.bfloat16) -> np.ndarray:
+                                  input_dtype=jnp.bfloat16,
+                                  tta_mesh=None) -> np.ndarray:
     """Like :func:`predict_sliding_window_logits` but argmaxes ON DEVICE and
     fetches only the uint8 label map — 8x less tunnel traffic, the right
-    call when probabilities aren't needed (argmax(softmax) == argmax)."""
+    call when probabilities aren't needed (argmax(softmax) == argmax).
+
+    tta_mesh: optional Mesh with a 'data' axis to shard the mirror-TTA batch
+    across chips (one flip per device)."""
     logits, weights = _run_sliding_window(
         model_fn, params, data, patch_size, slice_separation, tile_step_size,
-        use_gaussian, mirror, num_classes, input_dtype)
+        use_gaussian, mirror, num_classes, input_dtype, tta_mesh)
     return np.asarray(_argmax_uint8(logits, weights))
 
 
