@@ -6,3 +6,5 @@ from .normalize import (
 )
 from .transforms import TrainingTransforms
 from .datasets import SRPatchDataset, SegSRDataset, BatchLoader
+from .device_aug import augment_seg_batch
+from .device_sr_sim import simulate_lr_batch

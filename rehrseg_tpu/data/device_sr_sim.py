@@ -36,7 +36,9 @@ def simulate_lr_batch(key, hr_source: jnp.ndarray, slice_separation: float,
     lab = resize_1d_jax(hr_source[..., 1:], slice_separation, axis=1, order=0)
     out = jnp.concatenate([img, lab], axis=-1)
 
-    if zero_dropout and hr_source.shape[2] > 1:
+    # the reference zero-slice dropout applies only to 3D (FLAVR) patches
+    # with more than one z-slice (train_set.py:402-408); WDSR batches are 4D
+    if zero_dropout and hr_source.ndim == 5 and hr_source.shape[2] > 1:
         b = out.shape[0]
         k1, k2 = jax.random.split(key)
         drop_first = jax.random.uniform(k1, (b,)) < 0.1

@@ -21,3 +21,10 @@ from .bspline import (
 from .gaussian import compute_gaussian
 from .pixel_shuffle import pixel_shuffle_axis
 from .fba import fba, fba_jax
+from .warp import (
+    map_coordinates_cubic_2d,
+    map_coordinates_linear_2d,
+    rotate_scale_coords,
+    warp_data_2d,
+    warp_seg_2d,
+)

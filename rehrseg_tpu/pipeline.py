@@ -576,8 +576,10 @@ class Pipeline:
                 seg_p = (state.params["seg"] if c.enable_distillation
                          else state.params)
                 if val_subjects:
+                    # the reference evaluates with the ENLARGED patch
+                    # (x+64, y+64, z) reversed (train_all.py:563,165)
                     val_dice = evaluate(
-                        seg, seg_p, patch_size_zyx, c.data_path,
+                        seg, seg_p, patch_ori[::-1], c.data_path,
                         c.data_path.replace("imagesTr", "labelsTr"),
                         val_subjects, c.slice_separation,
                         mirror=self.eval_mirror)
