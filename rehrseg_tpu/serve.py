@@ -1,0 +1,140 @@
+"""Production serving API: NIfTI in -> segmentation NIfTI out.
+
+A thin deployment layer over the sliding-window engine: load trained
+SegModel weights once, then segment volumes (optionally many, pipelined so
+host<->device transfers overlap compute). Matches the reference evaluation
+semantics (zscore -> pad -> gaussian sliding window + mirror TTA -> argmax,
+train_all.py:154-193) but packaged for serving rather than research loops.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .io import nifti
+from .models import SegModel
+from .utils.pad import target_pad, crop
+from .data.normalize import zscore_normalization
+from .infer.sliding_window import (
+    predict_sliding_window_labels, predict_sliding_window_dual_labels,
+    _run_sliding_window, _argmax_uint8,
+)
+
+
+@dataclass
+class Segmenter:
+    """Stateless-per-request volume segmenter.
+
+    params: SegModel flax params (e.g. from train.checkpoint.restore or
+    torch_import). patch_size: (z, y, x) network patch. compute_dtype:
+    bf16 by default (params are cast once at construction).
+    """
+
+    model: SegModel
+    params: dict
+    patch_size: tuple
+    slice_separation: int = 4
+    mirror: bool = True
+    tile_step_size: float = 0.5
+    compute_dtype = jnp.bfloat16
+
+    def __post_init__(self):
+        self.params = jax.tree.map(
+            lambda a: jnp.asarray(a, dtype=self.compute_dtype), self.params)
+        model = self.model
+
+        def lr_fn(p, batch):
+            return model.apply(p, batch.astype(self.compute_dtype))[0]
+
+        def dual_fn(p, batch):
+            return model.apply(p, batch.astype(self.compute_dtype))
+
+        self._lr_fn = lr_fn
+        self._dual_fn = dual_fn
+
+    # ------------------------------------------------------------- core
+
+    def _prep(self, volume_zyx: np.ndarray):
+        vol = zscore_normalization(volume_zyx.astype(np.float32))[..., None]
+        target_shape = [max(s, p) for s, p in zip(vol.shape[:3],
+                                                  self.patch_size)]
+        return target_pad(vol, target_shape + [1], mode="constant")
+
+    def segment(self, volume_zyx: np.ndarray, hr: bool = False):
+        """volume: (z, y, x). Returns LR uint8 mask, or (lr, hr) with hr."""
+        vol_p, pads = self._prep(volume_zyx)
+        if hr:
+            lr_full, hr_full = predict_sliding_window_dual_labels(
+                self._dual_fn, self.params, vol_p, self.patch_size,
+                slice_separation=self.slice_separation,
+                tile_step_size=self.tile_step_size, mirror=self.mirror)
+            sep = self.slice_separation
+            hr_pads = ((pads[0][0] * sep, pads[0][1] * sep),) + pads[1:3]
+            return crop(lr_full, pads[:3]), crop(hr_full, hr_pads)
+        pred = predict_sliding_window_labels(
+            self._lr_fn, self.params, vol_p, self.patch_size,
+            slice_separation=1, tile_step_size=self.tile_step_size,
+            mirror=self.mirror)
+        return crop(pred, pads[:3])
+
+    def segment_many(self, volumes_zyx):
+        """Pipelined batch segmentation: all scans dispatch before any label
+        map downloads, hiding tunnel transfers under device compute."""
+        prepped = [self._prep(v) for v in volumes_zyx]
+        pending = []
+        for vol_p, _ in prepped:
+            logits, weights = _run_sliding_window(
+                self._lr_fn, self.params, vol_p, self.patch_size, 1,
+                self.tile_step_size, True, self.mirror, 2)
+            pending.append(_argmax_uint8(logits, weights))
+        return [crop(np.asarray(p), pads[:3])
+                for p, (_, pads) in zip(pending, prepped)]
+
+    # ------------------------------------------------------------- files
+
+    def segment_file(self, in_path: str, out_path: str,
+                     hr_out_path: str | None = None) -> None:
+        """NIfTI in -> binarized segmentation NIfTI out, geometry copied from
+        the input (train_all.py:166-181 semantics)."""
+        ref = nifti.read_image_itk(in_path)
+        if hr_out_path is not None:
+            pred_lr, pred_hr = self.segment(ref.array.astype(np.float32),
+                                            hr=True)
+        else:
+            pred_lr = self.segment(ref.array.astype(np.float32))
+        nifti.write_image_itk(
+            nifti.ItkLikeImage(pred_lr.astype(np.uint8), ref.spacing,
+                               ref.origin, ref.direction), out_path)
+        if hr_out_path is not None:
+            sp = ref.spacing
+            nifti.write_image_itk(
+                nifti.ItkLikeImage(
+                    pred_hr.astype(np.uint8),
+                    (sp[0], sp[1], sp[2] / self.slice_separation),
+                    ref.origin, ref.direction), hr_out_path)
+
+
+def load_segmenter_from_checkpoint(ckpt_dir: str, arch: dict, patch_size,
+                                   slice_separation: int = 4,
+                                   num_classes: int = 2, **kw) -> Segmenter:
+    """Restore a trained stage-2 checkpoint into a Segmenter."""
+    from .train import TrainState, nesterov_sgd, poly_epoch_schedule
+    from .train import checkpoint as ckpt
+
+    model = SegModel(num_classes=num_classes, upscale=slice_separation,
+                     arch=arch)
+    x0 = jnp.zeros((1, *patch_size, 1))
+    params = model.init(jax.random.key(0), x0)
+    tx = nesterov_sgd(poly_epoch_schedule(1e-3, 1, 1))
+    state = TrainState.create(params, tx)
+    state = ckpt.restore_checkpoint(ckpt_dir, state)
+    p = state.params
+    if isinstance(p, dict) and "seg" in p:
+        p = p["seg"]
+    return Segmenter(model=model, params=p, patch_size=tuple(patch_size),
+                     slice_separation=slice_separation, **kw)
