@@ -110,3 +110,33 @@ def test_lowres_matrices_match_scipy(rng):
         ref = zoom(down, n / len(down), order=3)[:n]
         got = mats[i] @ x
         assert np.allclose(got, ref, atol=1e-4), f
+
+
+def test_device_warp_matches_host_spatial_aug(rng):
+    """End-to-end spatial-augmentation parity: same angle/scale through the
+    host (scipy) path and the device (B-spline matmul) path."""
+    from rehrseg_tpu.data.transforms import augment_spatial_2d
+
+    data = rng.normal(size=(2, 32, 32)).astype(np.float32)
+    seg = np.zeros((1, 32, 32), dtype=np.float32)
+    seg[0, 10:22, 8:20] = 1.0
+
+    class FixedRng:
+        def uniform(self, lo=0.0, hi=1.0):
+            return lo
+
+        def random(self):
+            return 0.9
+
+    out_d, out_s = augment_spatial_2d(data, [seg], (24, 24), FixedRng(),
+                                      angle_x=(0.6, 0.6), scale=(1.1, 1.1))
+    coords, mask = W.rotate_scale_coords((24, 24), jnp.float32(0.6),
+                                         jnp.float32(1.1), (32, 32))
+    dev_d = np.stack([np.asarray(W.warp_data_2d(jnp.asarray(data[c]), coords,
+                                                mask)) for c in range(2)])
+    dev_s = np.asarray(W.warp_seg_2d(jnp.asarray(seg[0]), coords, mask))
+    # interior parity (border spline tails differ: mirror+mask vs constant)
+    interior = (slice(None), slice(4, 20), slice(4, 20))
+    assert np.abs(out_d[interior] - dev_d[interior]).max() < 1e-3
+    agree = (out_s[0][0, 4:20, 4:20] == dev_s[4:20, 4:20]).mean()
+    assert agree > 0.97
