@@ -96,23 +96,29 @@ def _train_sr_loop(model, tx, state, loader, step_fn, n_steps, save_iters,
     rational downsample runs on device (data.device_sr_sim)."""
     if lr_sim_sep is not None:
         from .data.device_sr_sim import simulate_lr_batch
+    import time as _time
     sim_key = jax.random.key(17)
-    timer = StepTimer()
-    for it in range(int(state.step), n_steps):
+    start_it = int(state.step)
+    last_log_it, last_log_t = start_it, _time.perf_counter()
+    for it in range(start_it, n_steps):
         lr_b, hr_b = loader.next()
         lr_b = jnp.asarray(lr_b)
         if lr_sim_sep is not None:
             sim_key, sub = jax.random.split(sim_key)
             lr_b = simulate_lr_batch(sub, lr_b, float(lr_sim_sep))
-        timer.start()
+        # async dispatch: no per-step sync, so host-side batch prep for step
+        # i+1 overlaps the device's step i; the loss only materializes at
+        # logging/checkpoint boundaries
         state, metrics = step_fn(state, lr_b, jnp.asarray(hr_b))
-        jax.block_until_ready(metrics["loss"])
-        timer.stop()
         if it > 0 and it % save_iters == 0:
             ckpt.save_checkpoint(weight_dir, state)
         if it % log_every == 0:
-            print(f"  step {it}/{n_steps} loss={float(metrics['loss']):.4f} "
-                  f"({timer.mean() * 1e3:.0f} ms/step)")
+            loss = float(metrics["loss"])  # device sync point
+            now = _time.perf_counter()
+            dt = (now - last_log_t) / max(it - last_log_it, 1)
+            last_log_it, last_log_t = it, now
+            print(f"  step {it}/{n_steps} loss={loss:.4f} "
+                  f"(~{dt * 1e3:.0f} ms/step)")
     ckpt.save_checkpoint(weight_dir, state, step=n_steps)
     return state
 
