@@ -58,9 +58,22 @@ def load_config(path: str, **overrides) -> Config:
     with open(path) as f:
         raw = yaml.safe_load(f) or {}
     raw.update(overrides)
-    known = {f.name for f in fields(Config)}
-    kwargs = {k: v for k, v in raw.items() if k in known}
-    extra = {k: v for k, v in raw.items() if k not in known}
+    known = {f.name: f for f in fields(Config)}
+    kwargs = {}
+    extra = {}
+    for k, v in raw.items():
+        if k not in known:
+            extra[k] = v
+            continue
+        # pyyaml (YAML 1.1) parses exponent floats without a dot ("1e-3")
+        # as strings — coerce to the declared field type
+        ftype = known[k].type
+        if isinstance(v, str):
+            if ftype in ("float", float):
+                v = float(v)
+            elif ftype in ("int", int):
+                v = int(float(v))
+        kwargs[k] = v
     cfg = Config(**kwargs)
     cfg.extra = extra
     return cfg
