@@ -148,13 +148,15 @@ def test_config_loading(tmp_path):
     from rehrseg_tpu.config import load_config
     cfg_yaml = tmp_path / "c.yaml"
     cfg_yaml.write_text(
-        "data_path: /x\nbatch_size_sr: 4\nlr_sr: 0.001\n"
+        "data_path: /x\nbatch_size_sr: 4\nlr_sr: 0.001\nlr_segsr: 1e-3\n"
         "slice_thickness: 4.0\ntarget_thickness: 1.0\ncustom_key: 7\n")
     cfg = load_config(str(cfg_yaml), fold=2)
     assert cfg.batch_size_sr == 4
     assert cfg.fold == 2
     assert cfg.slice_separation == 4.0
     assert cfg.extra["custom_key"] == 7
+    # pyyaml parses '1e-3' (no dot) as a string — must coerce to float
+    assert isinstance(cfg.lr_segsr, float) and cfg.lr_segsr == 1e-3
 
 
 def test_augment_3d_image(rng):
