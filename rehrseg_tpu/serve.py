@@ -122,18 +122,17 @@ class Segmenter:
 def load_segmenter_from_checkpoint(ckpt_dir: str, arch: dict, patch_size,
                                    slice_separation: int = 4,
                                    num_classes: int = 2, **kw) -> Segmenter:
-    """Restore a trained stage-2 checkpoint into a Segmenter."""
-    from .train import TrainState, nesterov_sgd, poly_epoch_schedule
+    """Restore a trained stage-2 checkpoint into a Segmenter.
+
+    Uses a template-free restore so both plain and distillation-trained
+    checkpoints (params = {'seg': ..., 'distiller': ...}) load.
+    """
     from .train import checkpoint as ckpt
 
     model = SegModel(num_classes=num_classes, upscale=slice_separation,
                      arch=arch)
-    x0 = jnp.zeros((1, *patch_size, 1))
-    params = model.init(jax.random.key(0), x0)
-    tx = nesterov_sgd(poly_epoch_schedule(1e-3, 1, 1))
-    state = TrainState.create(params, tx)
-    state = ckpt.restore_checkpoint(ckpt_dir, state)
-    p = state.params
+    restored = ckpt.restore_checkpoint_raw(ckpt_dir)
+    p = restored["params"]
     if isinstance(p, dict) and "seg" in p:
         p = p["seg"]
     return Segmenter(model=model, params=p, patch_size=tuple(patch_size),

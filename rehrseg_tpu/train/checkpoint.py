@@ -55,6 +55,22 @@ def restore_checkpoint(directory: str, state: TrainState, step: int | None = Non
                       step=int(restored["step"]))
 
 
+def restore_checkpoint_raw(directory: str, step: int | None = None,
+                           name: str = "state") -> dict:
+    """Template-free restore: returns the saved {'params', 'opt_state',
+    'step'} tree as host numpy arrays, whatever its structure (e.g. stage-2
+    checkpoints carry {'seg': ..., 'distiller': ...} params when
+    distillation was on)."""
+    directory = os.path.abspath(directory)
+    if step is None:
+        step = latest_step(directory)
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {directory}")
+    path = os.path.join(directory, str(step), name)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        return ckptr.restore(path)
+
+
 def latest_step(directory: str) -> int | None:
     if not os.path.isdir(directory):
         return None
