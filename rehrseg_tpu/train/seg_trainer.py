@@ -38,11 +38,15 @@ def flavr_window_indices(depth: int) -> np.ndarray:
 
 
 def flavr_teacher_features(flavr_model, flavr_params, img_lr: jnp.ndarray,
-                           label_lr: jnp.ndarray, feature_index: int = 1):
+                           label_lr: jnp.ndarray, feature_index: int = 1,
+                           window_chunk: int | None = None):
     """Teacher feature volume for KD (get_intermediate_features parity).
 
     img_lr, label_lr: (B, D, H, W, 1). Returns (B, D, H', W', C') where
     feature_index=1 selects the 64-channel layer1 features at H/2.
+
+    window_chunk: process the B*(D-1) z-windows in chunks of this size via
+    lax.map (memory cap at production patch sizes); None = one big batch.
     """
     img = zscore_batch(img_lr)
     x = jnp.concatenate([img, label_lr], axis=-1)  # (B, D, H, W, 2)
@@ -51,9 +55,23 @@ def flavr_teacher_features(flavr_model, flavr_params, img_lr: jnp.ndarray,
     idx = flavr_window_indices(d)  # (d-1, 4)
     windows = padded[:, idx]  # (B, d-1, 4, H, W, C)
     flat = windows.reshape(b * (d - 1), 4, h, w, c)
-    feats = flavr_model.apply(flavr_params, flat,
-                              return_intermediate_feature=True)
-    f = feats[feature_index]  # (B*(d-1), 4, H', W', C')
+
+    def encode(batch):
+        return flavr_model.apply(flavr_params, batch,
+                                 return_intermediate_feature=True)
+
+    n = flat.shape[0]
+    if window_chunk is not None and window_chunk < n:
+        pad_n = (-n) % window_chunk
+        if pad_n:
+            flat = jnp.concatenate(
+                [flat, jnp.zeros((pad_n, *flat.shape[1:]), flat.dtype)])
+        chunks = flat.reshape(-1, window_chunk, 4, h, w, c)
+        feats_c = jax.lax.map(lambda ch: encode(ch)[feature_index], chunks)
+        f = feats_c.reshape(-1, *feats_c.shape[2:])[:n]
+    else:
+        feats = encode(flat)
+        f = feats[feature_index]  # (B*(d-1), 4, H', W', C')
     _, fd, fh, fw, fc = f.shape
     f = f.reshape(b, d - 1, fd, fh, fw, fc)
     center = f[:, :, 1]          # slice 1 of each window -> slices 0..d-2
@@ -98,6 +116,7 @@ def make_seg_train_step(seg_model, tx: optax.GradientTransformation,
                         flavr_model=None,
                         distiller=None,
                         deep_supervision: bool = False,
+                        teacher_window_chunk: int | None = None,
                         donate: bool = True) -> Callable:
     """Returns jitted step(state, flavr_params, batch) -> (state, metrics).
 
@@ -140,8 +159,9 @@ def make_seg_train_step(seg_model, tx: optax.GradientTransformation,
         metrics = {"loss_lr": loss_lr, "loss_hr": loss_hr}
 
         if enable_distillation:
-            teacher = flavr_teacher_features(flavr_model, flavr_params,
-                                             batch.img, batch.label_lr)
+            teacher = flavr_teacher_features(
+                flavr_model, flavr_params, batch.img, batch.label_lr,
+                window_chunk=teacher_window_chunk)
             student = skips[1]
             kd = distiller.apply(params["distiller"], student, teacher)
             loss = loss + kd

@@ -160,3 +160,15 @@ def test_dp_sharded_sr_step(rng):
     # params stay replicated: every device holds the full tree
     leaf = jax.tree.leaves(state.params)[0]
     assert len(leaf.sharding.device_set) == 8
+
+
+def test_teacher_window_chunking_matches_full(rng):
+    """Chunked teacher encoding equals the single-batch path."""
+    from rehrseg_tpu.models import UNet3D
+    flavr = UNet3D(img_channels=2, n_inputs=4, n_outputs=4)
+    fparams = flavr.init(jax.random.key(0), jnp.zeros((1, 4, 16, 16, 2)))
+    img = jnp.asarray(rng.normal(size=(2, 6, 16, 16, 1)).astype(np.float32))
+    lab = jnp.asarray((rng.normal(size=(2, 6, 16, 16, 1)) > 0).astype(np.float32))
+    full = flavr_teacher_features(flavr, fparams, img, lab)
+    chunked = flavr_teacher_features(flavr, fparams, img, lab, window_chunk=4)
+    assert np.allclose(np.asarray(full), np.asarray(chunked), atol=1e-5)
