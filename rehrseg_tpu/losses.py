@@ -175,3 +175,16 @@ def calculate_dice(prediction, ground_truth, smooth: float = 1e-5) -> float:
     intersection = np.sum(prediction * ground_truth)
     return float((2.0 * intersection + smooth) /
                  (np.sum(prediction) + np.sum(ground_truth) + smooth))
+
+
+def calculate_psnr(prediction, ground_truth, data_range: float | None = None) -> float:
+    """Peak signal-to-noise ratio (dB) — the SR quality headline metric
+    (BASELINE.md: 'Dice & PSNR parity on Meningioma')."""
+    prediction = np.asarray(prediction, dtype=np.float64)
+    ground_truth = np.asarray(ground_truth, dtype=np.float64)
+    if data_range is None:
+        data_range = float(ground_truth.max() - ground_truth.min())
+    mse = np.mean((prediction - ground_truth) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(data_range ** 2 / mse))

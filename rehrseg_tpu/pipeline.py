@@ -558,7 +558,8 @@ class Pipeline:
         step_fn = make_seg_train_step(
             seg, tx, enable_uncertainty=c.enable_uncertainty,
             enable_distillation=c.enable_distillation,
-            flavr_model=flavr_model, distiller=dist)
+            flavr_model=flavr_model, distiller=dist,
+            teacher_window_chunk=(c.extra or {}).get("teacher_window_chunk"))
 
         total_steps = c.epochs * iters_per_epoch
         best_dice = 0.0

@@ -141,3 +141,12 @@ def test_calculate_dice_binary():
     p = np.array([1, 1, 0, 0], dtype=np.uint8)
     g = np.array([1, 0, 1, 0], dtype=np.uint8)
     assert calculate_dice(p, g) == pytest.approx((2 * 1 + 1e-5) / (2 + 2 + 1e-5))
+
+
+def test_psnr():
+    from rehrseg_tpu.losses import calculate_psnr
+    x = np.linspace(0, 1, 1000).reshape(10, 10, 10)
+    assert calculate_psnr(x, x) == float("inf")
+    noisy = x + 0.01
+    # MSE = 1e-4, range 1 → PSNR = 40 dB
+    assert calculate_psnr(noisy, x, data_range=1.0) == pytest.approx(40.0, abs=0.1)
