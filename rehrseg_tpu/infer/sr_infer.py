@@ -44,6 +44,23 @@ def _pad_z_for_rational_sr(vol: np.ndarray, slice_separation: float):
     return vol, n_crop
 
 
+_FWD_CACHE: dict = {}
+
+
+def _cached_forward(model, out_index=None):
+    """Jitted model forward cached per (model identity, output index) so
+    per-subject inference over many volumes reuses one compiled program."""
+    key = (id(model), out_index)
+    if key not in _FWD_CACHE:
+        def fwd(p, b):
+            out = model.apply(p, b)
+            if isinstance(out, tuple) and out_index is not None:
+                out = out[out_index]
+            return out
+        _FWD_CACHE[key] = jax.jit(fwd)
+    return _FWD_CACHE[key]
+
+
 def infer_wdsr_volume(model, params, volume: np.ndarray,
                       slice_separation: float, batch: int = 8) -> np.ndarray:
     """volume: (x, y, z, c) with thin z. Returns (x, y, z*sep, c).
@@ -59,7 +76,7 @@ def infer_wdsr_volume(model, params, volume: np.ndarray,
             [x_slices, np.zeros((pad_n, *x_slices.shape[1:]),
                                 x_slices.dtype)], axis=0)
 
-    fwd = jax.jit(lambda p, b: model.apply(p, b))
+    fwd = _cached_forward(model)
     outs = []
     for st in range(0, x_slices.shape[0], batch):
         outs.append(np.asarray(fwd(params,
@@ -107,13 +124,7 @@ def infer_flavr_volume(model, params, volume: np.ndarray,
             [windows, np.zeros((pad_n, *windows.shape[1:]), windows.dtype)],
             axis=0)
 
-    def fwd(p, b):
-        out = model.apply(p, b)
-        if isinstance(out, tuple):
-            out = out[out_index if out_index is not None else 0]
-        return out
-
-    fwd = jax.jit(fwd)
+    fwd = _cached_forward(model, out_index if out_index is not None else 0)
     outs = []
     for st in range(0, windows.shape[0], batch):
         outs.append(np.asarray(fwd(params, jnp.asarray(windows[st:st + batch]))))
