@@ -297,6 +297,55 @@ def _argmax_uint8(logits, weights):
     return jnp.argmax(logits / weights[..., None], axis=-1).astype(jnp.uint8)
 
 
+def predict_sliding_window_labels_streamed(model_fn: Callable, params,
+                                           data: np.ndarray, patch_size,
+                                           *, z_slab_tiles: int = 2,
+                                           tile_step_size: float = 0.5,
+                                           use_gaussian: bool = True,
+                                           mirror: bool = True,
+                                           num_classes: int = 2,
+                                           input_dtype=jnp.bfloat16) -> np.ndarray:
+    """Sliding-window prediction for volumes LARGER than one chip's HBM.
+
+    The tile grid is grouped by z-start; each group of ``z_slab_tiles``
+    consecutive z-rows forms a slab [z_lo, z_hi+pd) that is uploaded alone,
+    scanned on device with slab-sized accumulation buffers, and merged into
+    host fp32 buffers. Overlapping tiles across slab boundaries accumulate
+    correctly because the weighted sums are additive — the output is exactly
+    the single-pass result (SURVEY.md §5: the reference handles big volumes
+    only by tiling within one GPU; this streams slabs so the device never
+    holds the whole volume).
+    """
+    patch_size = tuple(int(p) for p in patch_size)
+    pd = patch_size[0]
+    steps = compute_steps_for_sliding_window(data.shape[:3], patch_size,
+                                             tile_step_size)
+    z_starts, y_steps, x_steps = steps
+
+    d, h, w = data.shape[:3]
+    logits_host = np.zeros((d, h, w, num_classes), dtype=np.float32)
+    weights_host = np.zeros((d, h, w), dtype=np.float32)
+
+    for g0 in range(0, len(z_starts), z_slab_tiles):
+        group = z_starts[g0:g0 + z_slab_tiles]
+        z_lo = group[0]
+        z_hi = group[-1] + pd
+        slab = data[z_lo:z_hi]
+        starts = np.asarray(
+            [(sz - z_lo, sy, sx) for sz in group for sy in y_steps
+             for sx in x_steps], dtype=np.int32)
+        g = _device_gaussian(patch_size, bool(use_gaussian))
+        dev_slab = jnp.asarray(np.asarray(slab, np.float32), dtype=input_dtype)
+        logits, weights = _sliding_window_scan(
+            model_fn, params, dev_slab, jnp.asarray(starts), g, patch_size,
+            tuple(slab.shape[:3]), 1, bool(mirror), int(num_classes))
+        logits_host[z_lo:z_hi] += np.asarray(logits)
+        weights_host[z_lo:z_hi] += np.asarray(weights)
+
+    return np.argmax(logits_host / weights_host[..., None],
+                     axis=-1).astype(np.uint8)
+
+
 def predict_sliding_window_labels_many(model_fn: Callable, params,
                                        volumes, patch_size,
                                        *, slice_separation: int = 1,

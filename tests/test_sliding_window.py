@@ -149,3 +149,27 @@ def test_hr_pass_through_engine(rng):
         dual_model_fn=dual_fn, mirror=False)
     assert np.array_equal(pred_lr, pred_lr2)
     assert np.array_equal(pred_hr, pred_hr2)
+
+
+def test_streamed_matches_single_pass(rng):
+    """z-slab streaming produces exactly the single-pass prediction."""
+    from rehrseg_tpu.infer.sliding_window import (
+        predict_sliding_window_labels, predict_sliding_window_labels_streamed)
+    from rehrseg_tpu.models import SegModel
+    from tests.test_models import SMALL_ARCH
+
+    model = SegModel(num_classes=2, upscale=4, arch=SMALL_ARCH)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 4, 16, 16, 1)))
+
+    def lr_fn(p, batch):
+        return model.apply(p, batch)[0]
+
+    vol = rng.normal(size=(16, 24, 24, 1)).astype(np.float32)
+    single = predict_sliding_window_labels(
+        lr_fn, params, vol, (4, 16, 16), mirror=False,
+        input_dtype=jnp.float32)
+    for z_slab in (1, 2, 3):
+        streamed = predict_sliding_window_labels_streamed(
+            lr_fn, params, vol, (4, 16, 16), z_slab_tiles=z_slab,
+            mirror=False, input_dtype=jnp.float32)
+        assert np.array_equal(single, streamed), z_slab
