@@ -4,6 +4,8 @@ from .sliding_window import (
     predict_sliding_window_logits,
     predict_sliding_window_labels,
     predict_sliding_window_dual_labels,
+    predict_sliding_window_labels_many,
+    predict_sliding_window_labels_streamed,
     evaluate_case_volume,
 )
 from .sr_infer import (
