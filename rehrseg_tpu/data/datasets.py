@@ -340,3 +340,50 @@ class BatchLoader:
             return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
         n = len(samples[0])
         return tuple(np.stack([s[j] for s in samples]) for j in range(n))
+
+
+class PrefetchLoader:
+    """Background-thread prefetch wrapper around a loader's `next()`.
+
+    numpy/scipy release the GIL during heavy kernels, so batch i+1's host
+    prep genuinely overlaps the (async-dispatched) device step i. Batch
+    order is identical to the wrapped loader (single worker consumes the
+    same RNG stream sequentially). Replaces the reference's torch
+    DataLoader(num_workers=4) role (train_all.py:508) without
+    multiprocessing — the right tradeoff on a 1-core host.
+    """
+
+    def __init__(self, loader, depth: int = 2):
+        import queue
+        import threading
+
+        self.loader = loader
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+
+        def worker():
+            while not self._stop.is_set():
+                try:
+                    batch = self.loader.next()
+                except Exception as e:  # surface errors at next() time
+                    self._q.put(e)
+                    return
+                self._q.put(batch)
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def next(self):
+        item = self._q.get()
+        if isinstance(item, Exception):
+            raise item
+        return item
+
+    def close(self):
+        self._stop.set()
+        # drain so the worker can exit a blocking put
+        try:
+            while True:
+                self._q.get_nowait()
+        except Exception:
+            pass

@@ -42,7 +42,8 @@ from .io import nifti
 from .io.volume import parse_image, write_h5
 from .losses import calculate_dice
 from .models import WDSR, UNet3D, SegModel, Distiller, arch_from_plans
-from .data.datasets import SRPatchDataset, SegSRDataset, BatchLoader
+from .data.datasets import (SRPatchDataset, SegSRDataset, BatchLoader,
+                            PrefetchLoader)
 from .data.normalize import zscore_normalization
 from .infer.sliding_window import evaluate_case_volume
 from .infer.sr_infer import (
@@ -270,7 +271,7 @@ class Pipeline:
                                 c.blur_kernel, patch_size, c.random_flip,
                                 blur=True, nnunet_transform=False,
                                 device_lr_sim=dev_sim)
-            loader = BatchLoader(ds, c.batch_size_sr)
+            loader = PrefetchLoader(BatchLoader(ds, c.batch_size_sr))
             step_fn = make_sr_train_step(model, tx, enable_uncertainty=False,
                                          slice_separation=sep, num_slices=1)
             state = _train_sr_loop(model, tx, state, loader, step_fn, n_steps,
@@ -334,7 +335,7 @@ class Pipeline:
         if int(state.step) < n_steps:
             print("TRAINING NETWORK FLAVR")
             dev_sim = bool((c.extra or {}).get("device_lr_sim", False))
-            loader = self._flavr_dataset(model)
+            loader = PrefetchLoader(self._flavr_dataset(model))
             step_fn = make_sr_train_step(model, tx, enable_uncertainty=False,
                                          slice_separation=sep,
                                          num_slices=c.num_slices)
@@ -425,7 +426,7 @@ class Pipeline:
         if int(state.step) < n_steps:
             print("TRAINING NETWORK FLAVR WITH UNCERTAINTY")
             dev_sim = bool((c.extra or {}).get("device_lr_sim", False))
-            loader = self._flavr_dataset(model)
+            loader = PrefetchLoader(self._flavr_dataset(model))
             step_fn = make_sr_train_step(model, tx, enable_uncertainty=True,
                                          slice_separation=sep,
                                          num_slices=c.num_slices)

@@ -185,3 +185,23 @@ def test_batch_loader(tmp_path, rng):
     lr, hr = loader.next()
     assert lr.shape == (3, 4, 16, 2)
     assert hr.shape == (3, 16, 16, 2)
+
+
+def test_prefetch_loader_matches_sync(tmp_path, rng):
+    from rehrseg_tpu.data import PrefetchLoader
+    _make_subject_nifti(str(tmp_path / "sub1_0000.nii.gz"), rng)
+
+    def make_loader():
+        ds = SRPatchDataset(str(tmp_path), ["sub1"], 4.0, 1.0, None,
+                            "rf-pulse-slr", (16, 16), random_flip=True,
+                            blur=True, nnunet_transform=False)
+        return BatchLoader(ds, batch_size=2, seed=5)
+
+    sync = make_loader()
+    ref_batches = [sync.next() for _ in range(3)]
+    pre = PrefetchLoader(make_loader(), depth=2)
+    for lr_ref, hr_ref in ref_batches:
+        lr, hr = pre.next()
+        assert np.array_equal(lr, lr_ref)
+        assert np.array_equal(hr, hr_ref)
+    pre.close()
