@@ -9,11 +9,17 @@ import argparse
 def main():
     parser = argparse.ArgumentParser(description="REHRSeg-TPU 3-stage pipeline")
     parser.add_argument("--config", type=str, default="./configs/brain.yaml")
-    parser.add_argument("--fold", type=int, default=None)
+    parser.add_argument(
+        "--fold", type=str, default=None,
+        help="fold index, or 'all' to train every fold simultaneously "
+             "(one fold per device, requires n_devices >= n_folds)")
     args = parser.parse_args()
+    fold = args.fold
+    if fold is not None and fold != "all":
+        fold = int(fold)
 
     from .pipeline import main as run_main
-    run_main(args.config, fold=args.fold)
+    run_main(args.config, fold=fold)
 
 
 if __name__ == "__main__":

@@ -45,7 +45,7 @@ class Config:
     lambda_cosine: float = 1.0
     lambda_structure: float = 1.0
     # runtime additions (not in the reference schema)
-    fold: int | None = None
+    fold: int | str | None = None  # int, None, or 'all' (fold-parallel)
     uncertainty_steps: int = 20_000  # hard-coded 20000 in train_all.py:448
     extra: dict = field(default_factory=dict)
 

@@ -358,22 +358,31 @@ class PrefetchLoader:
         import threading
 
         self.loader = loader
+        self._queue_mod = queue
         self._q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._stop = threading.Event()
 
         def worker():
             while not self._stop.is_set():
                 try:
-                    batch = self.loader.next()
-                except Exception as e:  # surface errors at next() time
-                    self._q.put(e)
-                    return
-                self._q.put(batch)
+                    item = self.loader.next()
+                except Exception as e:
+                    # surface the error at next() time, then KEEP serving —
+                    # a transient failure must not kill a long training run
+                    item = e
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         self._thread = threading.Thread(target=worker, daemon=True)
         self._thread.start()
 
     def next(self):
+        if self._stop.is_set():
+            raise RuntimeError("PrefetchLoader is closed")
         item = self._q.get()
         if isinstance(item, Exception):
             raise item
@@ -381,9 +390,22 @@ class PrefetchLoader:
 
     def close(self):
         self._stop.set()
-        # drain so the worker can exit a blocking put
+        # drain so a worker blocked on put() can observe the stop flag
         try:
             while True:
                 self._q.get_nowait()
+        except self._queue_mod.Empty:
+            pass
+        self._thread.join(timeout=5.0)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        try:
+            self._stop.set()
         except Exception:
             pass

@@ -49,7 +49,9 @@ _FWD_CACHE: dict = {}
 
 def _cached_forward(model, out_index=None):
     """Jitted model forward cached per (model identity, output index) so
-    per-subject inference over many volumes reuses one compiled program."""
+    per-subject inference over many volumes reuses one compiled program.
+    The entry pins the model object so a GC'd model's id can never alias a
+    new model onto a stale compiled forward."""
     key = (id(model), out_index)
     if key not in _FWD_CACHE:
         def fwd(p, b):
@@ -57,8 +59,8 @@ def _cached_forward(model, out_index=None):
             if isinstance(out, tuple) and out_index is not None:
                 out = out[out_index]
             return out
-        _FWD_CACHE[key] = jax.jit(fwd)
-    return _FWD_CACHE[key]
+        _FWD_CACHE[key] = (model, jax.jit(fwd))
+    return _FWD_CACHE[key][1]
 
 
 def infer_wdsr_volume(model, params, volume: np.ndarray,

@@ -1,14 +1,18 @@
-"""Volume parsing, orientation, normalization, and HDF5 intermediate stores.
+"""Volume loading, orientation, intensity scaling, and HDF5 stores.
 
-Parity with the reference L1 I/O layer
-(/root/reference/utils/parse_image_file.py:7-131): `parse_image` returns the
-array (or a lazy HDF5 handle), the slice separation, the LR axis, the blur
-FWHM in voxels, header/affine, and intensity extrema. The `degrade` FWHM math
-(`fwhm_needed`, `fwhm_units_to_voxel_space`) is reimplemented in
-:mod:`rehrseg_tpu.ops.blur`.
+Capability parity with the reference L1 I/O layer
+(/root/reference/utils/parse_image_file.py:7-131): :func:`load_volume`
+returns a :class:`Volume` bundling the array (or a lazy HDF5 handle) with
+its anisotropy metadata — slice separation, LR axis, slice-profile blur FWHM
+in voxels (the `degrade` FWHM math lives in :mod:`rehrseg_tpu.ops.blur`) —
+and :func:`parse_image` adapts it to the reference's positional 8-tuple for
+the parity-critical pipeline plumbing.
 """
 
 from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
 
 import h5py
 import numpy as np
@@ -17,102 +21,76 @@ from . import nifti
 from ..ops.blur import blur_fwhm_in_voxels
 
 
+# ------------------------------------------------------------ intensity
+
 def normalize(x, a=-1, b=1):
-    """Affine-map intensities to [a, b]; returns (scaled, orig_min, orig_max)."""
-    orig_min = x.min()
-    orig_max = x.max()
-    numer = (x - orig_min) * (b - a)
-    denom = orig_max - orig_min
-    return a + numer / denom, orig_min, orig_max
+    """Affine-map intensities to [a, b]; returns (scaled, orig_min, orig_max).
+
+    (The reference's normalize, parse_image_file.py — 6 lines of unavoidable
+    min-max math.)
+    """
+    lo = x.min()
+    hi = x.max()
+    scale = (b - a) / (hi - lo)
+    return a + (x - lo) * scale, lo, hi
 
 
 def inv_normalize(x, orig_min, orig_max, a=-1, b=1):
-    tmp = x - a
-    tmp = tmp * (orig_max - orig_min)
-    tmp = tmp / (b - a)
-    tmp += orig_min
-    return tmp
+    """Invert :func:`normalize` given the stored extrema."""
+    scale = (orig_max - orig_min) / (b - a)
+    return orig_min + (x - a) * scale
 
 
-class LazyHDF5File:
-    """Lazy view into an HDF5 file (parity: parse_image_file.py:24-50)."""
+# ------------------------------------------------------------ HDF5 store
 
-    def __init__(self, path, internal_path=None):
+class H5Dataset:
+    """Handle to ONE dataset inside an HDF5 file.
+
+    The file is opened per access so handles are cheap, picklable, and safe
+    to hold across worker threads — unlike a live ``h5py.Dataset``. Shape
+    metadata is cached eagerly so `.shape`/`.ndim` don't touch the file.
+    """
+
+    __slots__ = ("path", "name", "shape", "ndim", "dtype")
+
+    def __init__(self, path: str, name: str):
         self.path = path
-        self.internal_path = internal_path
-        if self.internal_path:
-            with h5py.File(self.path, "r") as f:
-                self.ndim = f[self.internal_path].ndim
-                self.shape = f[self.internal_path].shape
+        self.name = name
+        with h5py.File(path, "r") as f:
+            d = f[name]
+            self.shape = tuple(d.shape)
+            self.ndim = d.ndim
+            self.dtype = d.dtype
 
-    def ravel(self):
+    def __getitem__(self, index):
+        if index is Ellipsis:
+            return self
         with h5py.File(self.path, "r") as f:
-            return f[self.internal_path][:].ravel()
+            return f[self.name][index]
 
-    def __getitem__(self, arg):
-        if isinstance(arg, str) and not self.internal_path:
-            return LazyHDF5File(self.path, arg)
-        if arg is Ellipsis:
-            return LazyHDF5File(self.path, self.internal_path)
+    def read(self) -> np.ndarray:
+        return self[:]
+
+    def ravel(self) -> np.ndarray:
+        return self[:].ravel()
+
+
+class H5Store:
+    """Handle to an HDF5 file of named volumes: ``store["img"]`` yields an
+    :class:`H5Dataset`. Replaces the reference's dual-role LazyHDF5File
+    (parse_image_file.py:24-50) with two single-purpose handles."""
+
+    __slots__ = ("path",)
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def keys(self):
         with h5py.File(self.path, "r") as f:
-            return f[self.internal_path][arg]
+            return list(f.keys())
 
-
-def parse_image(img_file: str, slice_thickness: float, target_thickness: float):
-    """Open a volume file and return image + anisotropy metadata.
-
-    Returns (image, slice_separation, lr_axis, blur_fwhm_voxels, header,
-    affine, orig_min, orig_max) — reference parse_image_file.py:52-96.
-    """
-    if str(img_file).endswith(".nii.gz") or str(img_file).endswith(".nii"):
-        obj = nifti.load(img_file)
-        voxel_size = tuple(float(v) for v in obj.header.get_zooms())
-        lr_axis = int(np.argmax(voxel_size)) if len(voxel_size) == 2 else 0
-        image = obj.get_fdata(dtype=np.float32)
-        header = obj.header
-        affine = obj.affine
-        orig_min = image.min()
-        orig_max = image.max()
-    elif str(img_file).endswith(".h5"):
-        image = LazyHDF5File(str(img_file))
-        header = None
-        affine = None
-        lr_axis = None
-        orig_min = None
-        orig_max = None
-    else:
-        raise ValueError(f"Unsupported volume file: {img_file}")
-
-    slice_separation = float(slice_thickness / target_thickness)
-    blur_fwhm_voxels = blur_fwhm_in_voxels(target_thickness, slice_thickness)
-    return (image, slice_separation, lr_axis, blur_fwhm_voxels, header, affine,
-            orig_min, orig_max)
-
-
-def lr_axis_to_z(img: np.ndarray, lr_axis: int) -> np.ndarray:
-    """Orient so the low-resolution axis is "z" (parse_image_file.py:100-114)."""
-    if img.ndim == 5:
-        img = np.squeeze(img)
-    if lr_axis == 0:
-        return img.transpose(2, 0, 1, 3)
-    elif lr_axis == 1:
-        return img.transpose(1, 2, 0, 3)
-    return img
-
-
-def z_axis_to_lr_axis(img: np.ndarray, lr_axis: int) -> np.ndarray:
-    """Inverse-ish orientation used by the reference (parse_image_file.py:118-131).
-
-    Note the reference applies the *same* permutation as lr_axis_to_z here
-    (an involution only for lr_axis==2); we preserve that behavior for parity.
-    """
-    if img.ndim == 5:
-        img = np.squeeze(img, axis=4)
-    if lr_axis == 0:
-        return img.transpose(2, 0, 1, 3)
-    elif lr_axis == 1:
-        return img.transpose(1, 2, 0, 3)
-    return img
+    def __getitem__(self, name: str) -> H5Dataset:
+        return H5Dataset(self.path, name)
 
 
 def write_h5(path: str, **datasets) -> None:
@@ -125,3 +103,90 @@ def write_h5(path: str, **datasets) -> None:
 def read_h5(path: str, *names):
     with h5py.File(path, "r") as f:
         return tuple(f[n][:] for n in names)
+
+
+# ------------------------------------------------------------ loading
+
+@dataclass
+class Volume:
+    """One anisotropic volume plus the metadata every pipeline stage needs.
+
+    ``data`` is a float32 ndarray for NIfTI inputs or an :class:`H5Store`
+    for stage-intermediate files (h5 stores carry no spatial metadata, so
+    the header/affine/lr_axis/intensity fields are None for them).
+    """
+
+    data: Any
+    slice_separation: float
+    lr_axis: int | None
+    blur_fwhm: float
+    header: Any = None
+    affine: Any = None
+    intensity_min: float | None = None
+    intensity_max: float | None = None
+
+    def as_reference_tuple(self):
+        """The reference parse_image 8-tuple (parse_image_file.py:52-96)."""
+        return (self.data, self.slice_separation, self.lr_axis,
+                self.blur_fwhm, self.header, self.affine,
+                self.intensity_min, self.intensity_max)
+
+
+def load_volume(img_file: str, slice_thickness: float,
+                target_thickness: float) -> Volume:
+    """Open a NIfTI or HDF5 volume with its anisotropy metadata.
+
+    Preserved reference quirk: a 2-long voxel-size tuple selects the LR axis
+    by argmax, anything else defaults to axis 0 (parse_image_file.py:57-60).
+    """
+    path = str(img_file)
+    sep = float(slice_thickness / target_thickness)
+    fwhm = blur_fwhm_in_voxels(target_thickness, slice_thickness)
+
+    if path.endswith((".nii.gz", ".nii")):
+        obj = nifti.load(path)
+        zooms = tuple(float(v) for v in obj.header.get_zooms())
+        lr_axis = int(np.argmax(zooms)) if len(zooms) == 2 else 0
+        image = obj.get_fdata(dtype=np.float32)
+        return Volume(image, sep, lr_axis, fwhm, obj.header, obj.affine,
+                      image.min(), image.max())
+    if path.endswith(".h5"):
+        return Volume(H5Store(path), sep, None, fwhm)
+    raise ValueError(f"Unsupported volume file: {img_file}")
+
+
+def parse_image(img_file: str, slice_thickness: float,
+                target_thickness: float):
+    """Reference-shaped adapter: returns (image, slice_separation, lr_axis,
+    blur_fwhm_voxels, header, affine, orig_min, orig_max)."""
+    return load_volume(img_file, slice_thickness,
+                       target_thickness).as_reference_tuple()
+
+
+# ------------------------------------------------------------ orientation
+
+# lr_axis -> (source_axis, destination) np.moveaxis arguments that bring the
+# low-resolution axis to position 2 ("z") for a (x, y, z, c) volume
+_LR_TO_Z_MOVE = {0: (2, 0), 1: (0, 2)}
+
+
+def lr_axis_to_z(img: np.ndarray, lr_axis: int) -> np.ndarray:
+    """Orient so the low-resolution axis is last-spatial ("z")
+    (parse_image_file.py:100-114)."""
+    if img.ndim == 5:
+        img = np.squeeze(img)
+    move = _LR_TO_Z_MOVE.get(lr_axis)
+    return np.moveaxis(img, *move) if move else img
+
+
+def z_axis_to_lr_axis(img: np.ndarray, lr_axis: int) -> np.ndarray:
+    """Reverse orientation as the reference does it
+    (parse_image_file.py:118-131).
+
+    Preserved quirk: the reference applies the *same* permutation as
+    lr_axis_to_z here, not its inverse — an involution only for lr_axis==2.
+    """
+    if img.ndim == 5:
+        img = np.squeeze(img, axis=4)
+    move = _LR_TO_Z_MOVE.get(lr_axis)
+    return np.moveaxis(img, *move) if move else img

@@ -57,6 +57,8 @@ from .train import (
 from .train import checkpoint as ckpt
 from .train import torch_import
 from .utils.timer import StepTimer
+from .utils.metrics import MetricsLogger
+from .utils.preemption import PreemptionGuard, TrainingPreempted
 
 
 def merge_images_and_labels(main_dir: str, output_dir: str) -> None:
@@ -92,34 +94,50 @@ def merge_images_and_labels(main_dir: str, output_dir: str) -> None:
 
 
 def _train_sr_loop(model, tx, state, loader, step_fn, n_steps, save_iters,
-                   weight_dir, log_every=100, lr_sim_sep=None):
+                   weight_dir, log_every=100, lr_sim_sep=None, sched=None):
     """lr_sim_sep: when set, batches carry pre-resize LR sources and the
-    rational downsample runs on device (data.device_sr_sim)."""
+    rational downsample runs on device (data.device_sr_sim).
+
+    Loss/lr/step-time land in <weight_dir>/metrics.jsonl via MetricsLogger.
+    The loader is closed on exit (including on error)."""
     if lr_sim_sep is not None:
         from .data.device_sr_sim import simulate_lr_batch
     import time as _time
+    mlog = MetricsLogger(weight_dir)
     sim_key = jax.random.key(17)
     start_it = int(state.step)
     last_log_it, last_log_t = start_it, _time.perf_counter()
-    for it in range(start_it, n_steps):
-        lr_b, hr_b = loader.next()
-        lr_b = jnp.asarray(lr_b)
-        if lr_sim_sep is not None:
-            sim_key, sub = jax.random.split(sim_key)
-            lr_b = simulate_lr_batch(sub, lr_b, float(lr_sim_sep))
-        # async dispatch: no per-step sync, so host-side batch prep for step
-        # i+1 overlaps the device's step i; the loss only materializes at
-        # logging/checkpoint boundaries
-        state, metrics = step_fn(state, lr_b, jnp.asarray(hr_b))
-        if it > 0 and it % save_iters == 0:
-            ckpt.save_checkpoint(weight_dir, state)
-        if it % log_every == 0:
-            loss = float(metrics["loss"])  # device sync point
-            now = _time.perf_counter()
-            dt = (now - last_log_t) / max(it - last_log_it, 1)
-            last_log_it, last_log_t = it, now
-            print(f"  step {it}/{n_steps} loss={loss:.4f} "
-                  f"(~{dt * 1e3:.0f} ms/step)")
+    guard = PreemptionGuard()
+    try:
+      with guard:
+        for it in range(start_it, n_steps):
+            if guard.should_stop:
+                ckpt.save_checkpoint(weight_dir, state)
+                raise TrainingPreempted(int(state.step))
+            lr_b, hr_b = loader.next()
+            lr_b = jnp.asarray(lr_b)
+            if lr_sim_sep is not None:
+                sim_key, sub = jax.random.split(sim_key)
+                lr_b = simulate_lr_batch(sub, lr_b, float(lr_sim_sep))
+            # async dispatch: no per-step sync, so host-side batch prep for
+            # step i+1 overlaps the device's step i; the loss only
+            # materializes at logging/checkpoint boundaries
+            state, metrics = step_fn(state, lr_b, jnp.asarray(hr_b))
+            if it > 0 and it % save_iters == 0:
+                ckpt.save_checkpoint(weight_dir, state)
+            if it % log_every == 0:
+                loss = float(metrics["loss"])  # device sync point
+                now = _time.perf_counter()
+                dt = (now - last_log_t) / max(it - last_log_it, 1)
+                last_log_it, last_log_t = it, now
+                lr_now = float(sched(it)) if sched is not None else None
+                mlog.log(it, loss=loss, step_time_s=dt,
+                         **({"lr": lr_now} if lr_now is not None else {}))
+                print(f"  step {it}/{n_steps} loss={loss:.4f} "
+                      f"(~{dt * 1e3:.0f} ms/step)")
+    finally:
+        if hasattr(loader, "close"):
+            loader.close()
     ckpt.save_checkpoint(weight_dir, state, step=n_steps)
     return state
 
@@ -130,7 +148,8 @@ _MODEL_FN_CACHE: dict = {}
 def seg_model_fns(seg_model):
     """Cached (lr_fn, hr_fn) for a SegModel instance. The sliding-window jit
     keys on the model_fn object, so these must be stable across evaluate
-    calls to avoid recompilation."""
+    calls to avoid recompilation. The cache entry pins the model object so
+    a GC'd model's id can never alias a new model onto stale forwards."""
     key = id(seg_model)
     if key not in _MODEL_FN_CACHE:
         def lr_fn(p, batch):
@@ -139,8 +158,8 @@ def seg_model_fns(seg_model):
         def dual_fn(p, batch):
             return seg_model.apply(p, batch)
 
-        _MODEL_FN_CACHE[key] = (lr_fn, dual_fn)
-    return _MODEL_FN_CACHE[key]
+        _MODEL_FN_CACHE[key] = (seg_model, (lr_fn, dual_fn))
+    return _MODEL_FN_CACHE[key][1]
 
 
 def evaluate(seg_model, seg_params, patch_size, val_img_path, val_label_path,
@@ -213,7 +232,9 @@ class Pipeline:
 
     def split_subjects(self):
         c = self.cfg
-        if c.fold is None:
+        if c.fold is None or c.fold == "all":
+            # fold="all": stage 1 is shared across folds and trains on every
+            # subject; per-fold splits apply in stage2_segsr_all_folds
             return [s.replace("_0000.nii.gz", "").replace(".nii.gz", "")
                     for s in sorted(os.listdir(c.data_path))], None
         splits = load_splits(c.seg_path)
@@ -258,7 +279,7 @@ class Pipeline:
         params = model.init(jax.random.key(0), x0)
 
         n_steps = int(np.ceil(c.n_patches / c.batch_size_sr))
-        tx, _ = onecycle_adam(c.lr_sr, n_steps)
+        tx, sched_sr = onecycle_adam(c.lr_sr, n_steps)
         state = TrainState.create(params, tx)
         if ckpt.has_checkpoint(self.smore_ckpt):
             print("NETWORK SMORE TRAINED, LOADING LAST WEIGHTS")
@@ -276,7 +297,8 @@ class Pipeline:
                                          slice_separation=sep, num_slices=1)
             state = _train_sr_loop(model, tx, state, loader, step_fn, n_steps,
                                    c.save_iters_sr, self.smore_ckpt,
-                                   lr_sim_sep=sep if dev_sim else None)
+                                   lr_sim_sep=sep if dev_sim else None,
+                                   sched=sched_sr)
 
         print("INFERENCE NETWORK SMORE")
         for subject in sorted(os.listdir(self.merge_data_path)):
@@ -327,7 +349,7 @@ class Pipeline:
             print(f"FLAVR warm start: loaded {len(loaded)} tensors")
 
         n_steps = int(np.ceil(c.n_patches / c.batch_size_sr))
-        tx, _ = onecycle_adam(c.lr_sr, n_steps)
+        tx, sched_sr = onecycle_adam(c.lr_sr, n_steps)
         state = TrainState.create(params, tx)
         if ckpt.has_checkpoint(self.flavr_ckpt):
             print("NETWORK FLAVR TRAINED, LOADING LAST WEIGHTS")
@@ -341,7 +363,8 @@ class Pipeline:
                                          num_slices=c.num_slices)
             state = _train_sr_loop(model, tx, state, loader, step_fn, n_steps,
                                    c.save_iters_sr, self.flavr_ckpt,
-                                   lr_sim_sep=sep if dev_sim else None)
+                                   lr_sim_sep=sep if dev_sim else None,
+                                   sched=sched_sr)
 
         print("INFERENCE NETWORK FLAVR")
         self._flavr_inference(model, state.params, uncertainty=False)
@@ -379,6 +402,7 @@ class Pipeline:
                     nifti.ItkLikeImage(seg_out, hr_spacing, ref.origin,
                                        ref.direction),
                     base.replace(".nii.gz", "_seg.nii.gz"))
+                self._log_sr_psnr(subject, img_out)
             else:
                 out = infer_flavr_volume(model, params,
                                          image.astype(np.float32), sep,
@@ -389,6 +413,31 @@ class Pipeline:
                 nifti.write_image_itk(
                     nifti.ItkLikeImage(unc_out, hr_spacing, ref.origin,
                                        ref.direction), unc_file)
+
+    def _log_sr_psnr(self, subject: str, sr_img_zyx: np.ndarray):
+        """Stage-1 SR quality metric (BASELINE acceptance: "Dice & PSNR
+        parity"): when an HR ground-truth volume exists for this subject
+        (config extra ``hr_reference_path`` — synthetic-test datasets have
+        one; clinical LR-only data doesn't), compute PSNR of the SR image
+        against it and append it to <flavr_ckpt>/metrics.jsonl."""
+        from .losses import calculate_psnr
+
+        hr_dir = (self.cfg.extra or {}).get("hr_reference_path")
+        if not hr_dir:
+            return
+        hr_path = os.path.join(hr_dir, subject)
+        if not os.path.exists(hr_path):
+            return
+        hr = nifti.read_image_itk(hr_path).array.astype(np.float32)  # (z,y,x)
+        z = min(hr.shape[0], sr_img_zyx.shape[0])
+        if hr.shape[1:] != sr_img_zyx.shape[1:]:
+            print(f"PSNR skip {subject}: in-plane shape mismatch "
+                  f"{hr.shape} vs {sr_img_zyx.shape}")
+            return
+        rng_ = float(hr.max() - hr.min()) or 1.0
+        psnr = calculate_psnr(sr_img_zyx[:z], hr[:z], data_range=rng_)
+        MetricsLogger(self.flavr_ckpt).log(0, subject=subject, psnr=psnr)
+        print(f"SR PSNR {subject}: {psnr:.2f} dB")
 
     def stage1c_uncertainty(self, init_state: TrainState | None = None):
         c = self.cfg
@@ -419,7 +468,7 @@ class Pipeline:
             params = dst
 
         n_steps = int(c.uncertainty_steps)
-        tx, _ = onecycle_adam(c.lr_sr, n_steps)
+        tx, sched_sr = onecycle_adam(c.lr_sr, n_steps)
         state = TrainState.create(params, tx)
         if ckpt.has_checkpoint(self.flavr_unc_ckpt):
             state = ckpt.restore_checkpoint(self.flavr_unc_ckpt, state)
@@ -432,7 +481,8 @@ class Pipeline:
                                          num_slices=c.num_slices)
             state = _train_sr_loop(model, tx, state, loader, step_fn, n_steps,
                                    c.save_iters_sr, self.flavr_unc_ckpt,
-                                   lr_sim_sep=sep if dev_sim else None)
+                                   lr_sim_sep=sep if dev_sim else None,
+                                   sched=sched_sr)
         print("INFERENCE NETWORK FLAVR WITH UNCERTAINTY")
         self._flavr_inference(model, state.params, uncertainty=True)
         return model, state
@@ -470,9 +520,12 @@ class Pipeline:
 
     # ------------------------------------------------------------ stage 2
 
-    def stage2_segsr(self, flavr_model=None, flavr_params=None):
+    def _seg_arch_and_patches(self):
+        """Arch kwargs + patch sizes, from arch_override or plans.json.
+
+        Reference patch math (train_all.py:469-470): patch (x, y, z) =
+        reversed plans patch; crop patch is (x+64, y+64, z)."""
         c = self.cfg
-        sep = int(c.slice_separation)
         if self.arch_override is not None:
             arch = dict(self.arch_override)
             arch["kernel_sizes"] = tuple(tuple(k) for k in arch["kernel_sizes"])
@@ -484,56 +537,82 @@ class Pipeline:
         else:
             plans = load_plans(c.seg_path)
             arch, patch_size_zyx = arch_from_plans(plans)
-
-        # reference patch math (train_all.py:469-470): patch (x, y, z) =
-        # reversed plans patch; crop patch is (x+64, y+64, z)
         patch_xyz = patch_size_zyx[::-1]
         patch_ori = [patch_xyz[0] + 64, patch_xyz[1] + 64, patch_xyz[2]]
+        return arch, patch_size_zyx, patch_xyz, patch_ori
 
-        seg = SegModel(num_classes=2, upscale=sep, input_channels=1, arch=arch)
-        x0 = jnp.zeros((1, patch_size_zyx[0], 32, 32, 1))
-        seg_params = seg.init(jax.random.key(0), x0)
-
-        resume_seg = os.path.join(c.seg_path, f"fold_{c.fold}",
+    def _init_seg_params(self, seg, arch, patch_size_zyx, fold):
+        """Init SegModel params, warm-started from the fold's nnUNet
+        checkpoint when present (train_all.py:496-499)."""
+        seg_params = seg.init(jax.random.key(0),
+                              jnp.zeros((1, patch_size_zyx[0], 32, 32, 1)))
+        resume_seg = os.path.join(self.cfg.seg_path, f"fold_{fold}",
                                   "checkpoint_final.pth")
         if os.path.exists(resume_seg):
             sd = torch_import.load_torch_state_dict(resume_seg)
             seg_params, loaded, _ = torch_import.import_segmodel(
                 seg_params, sd, arch)
-            print(f"nnUNet warm start: loaded {len(loaded)} tensors")
+            print(f"nnUNet warm start (fold {fold}): "
+                  f"loaded {len(loaded)} tensors")
+        return seg_params
+
+    def _make_distiller(self, arch):
+        c = self.cfg
+        student_dim = arch["features_per_stage"][1]
+        dist = Distiller(student_dim=student_dim, teacher_dim=64,
+                         lambda_l1=c.lambda_l1,
+                         lambda_cosine=c.lambda_cosine,
+                         lambda_structure=c.lambda_structure)
+        dparams = dist.init(jax.random.key(3),
+                            jnp.zeros((1, 2, 8, 8, student_dim)),
+                            jnp.zeros((1, 2, 8, 8, 64)))
+        return dist, dparams
+
+    def _ensure_flavr_teacher(self, flavr_model, flavr_params):
+        """Load the frozen FLAVR teacher from the latest stage-1 checkpoint
+        when stage 2 runs standalone."""
+        c = self.cfg
+        if flavr_model is not None:
+            return flavr_model, flavr_params
+        flavr_model = self._make_flavr(c.enable_uncertainty)
+        xf = jnp.zeros((1, c.num_slices, c.patch_size, c.patch_size, 2))
+        fp = flavr_model.init(jax.random.key(0), xf)
+        tx0, _ = onecycle_adam(c.lr_sr, 1)
+        fstate = TrainState.create(fp, tx0)
+        src = (self.flavr_unc_ckpt
+               if ckpt.has_checkpoint(self.flavr_unc_ckpt)
+               else self.flavr_ckpt)
+        if ckpt.has_checkpoint(src):
+            fstate = ckpt.restore_checkpoint(src, fstate)
+        return flavr_model, fstate.params
+
+    def stage2_segsr(self, flavr_model=None, flavr_params=None):
+        c = self.cfg
+        sep = int(c.slice_separation)
+        arch, patch_size_zyx, patch_xyz, patch_ori = self._seg_arch_and_patches()
+
+        seg = SegModel(num_classes=2, upscale=sep, input_channels=1, arch=arch)
+        seg_params = self._init_seg_params(seg, arch, patch_size_zyx, c.fold)
 
         dist = None
         params = seg_params
         if c.enable_distillation:
-            student_dim = arch["features_per_stage"][1]
-            dist = Distiller(student_dim=student_dim, teacher_dim=64,
-                             lambda_l1=c.lambda_l1,
-                             lambda_cosine=c.lambda_cosine,
-                             lambda_structure=c.lambda_structure)
-            sf = jnp.zeros((1, 2, 8, 8, student_dim))
-            tf = jnp.zeros((1, 2, 8, 8, 64))
-            dparams = dist.init(jax.random.key(3), sf, tf)
+            dist, dparams = self._make_distiller(arch)
             params = {"seg": seg_params, "distiller": dparams}
-            if flavr_model is None:
-                flavr_model = self._make_flavr(c.enable_uncertainty)
-                xf = jnp.zeros((1, c.num_slices, c.patch_size, c.patch_size, 2))
-                fp = flavr_model.init(jax.random.key(0), xf)
-                tx0, _ = onecycle_adam(c.lr_sr, 1)
-                fstate = TrainState.create(fp, tx0)
-                src = (self.flavr_unc_ckpt
-                       if ckpt.has_checkpoint(self.flavr_unc_ckpt)
-                       else self.flavr_ckpt)
-                if ckpt.has_checkpoint(src):
-                    fstate = ckpt.restore_checkpoint(src, fstate)
-                flavr_params = fstate.params
+            flavr_model, flavr_params = self._ensure_flavr_teacher(
+                flavr_model, flavr_params)
 
         train_subjects, val_subjects = self.split_subjects()
-        device_augment = bool((c.extra or {}).get("device_augment", False))
+        # device-side augmentation is the DEFAULT: the host scipy order-3
+        # spatial chain costs ~0.4 s/sample on this class of host and starves
+        # the chip; the host path stays available (device_augment: false) as
+        # the parity oracle (reference DataLoader workers, train_all.py:508)
+        device_augment = bool((c.extra or {}).get("device_augment", True))
         ds = SegSRDataset(self.segsr_h5_path, train_subjects,
                           c.slice_thickness, c.target_thickness, patch_ori,
                           patch_xyz, c.random_flip, c.enable_uncertainty,
                           device_augment=device_augment)
-        loader = BatchLoader(ds, c.batch_size_segsr)
+        loader = PrefetchLoader(BatchLoader(ds, c.batch_size_segsr))
         aug_fn = None
         if device_augment:
             from .data.device_aug import augment_seg_batch
@@ -564,8 +643,17 @@ class Pipeline:
 
         total_steps = c.epochs * iters_per_epoch
         best_dice = 0.0
+        mlog = MetricsLogger(self.segsr_ckpt)
+        timer = StepTimer()
         print(f"TRAINING NETWORK REHRSeg ({total_steps} steps)")
-        for it in range(int(state.step), total_steps):
+        guard = PreemptionGuard()
+        with guard:
+          for it in range(int(state.step), total_steps):
+            if guard.should_stop:
+                ckpt.save_checkpoint(self.segsr_ckpt, state)
+                loader.close()
+                raise TrainingPreempted(int(state.step))
+            timer.start()
             b = loader.next()
             if aug_fn is not None:
                 aug_key, sub = jax.random.split(aug_key)
@@ -580,6 +668,10 @@ class Pipeline:
                                  jnp.asarray(b["label_hr"]),
                                  jnp.asarray(b["uncertainty_lr"]))
             state, metrics = step_fn(state, flavr_params, batch)
+            timer.stop()
+            if (it + 1) % 100 == 0 or it + 1 == total_steps:
+                mlog.log(it + 1, loss=float(metrics["loss"]),
+                         lr=float(sched(it)), step_time_s=timer.mean())
             if (it + 1) % c.save_iters_segsr == 0:
                 seg_p = (state.params["seg"] if c.enable_distillation
                          else state.params)
@@ -592,10 +684,186 @@ class Pipeline:
                         val_subjects, c.slice_separation,
                         mirror=self.eval_mirror)
                     print(f"Eval result: {val_dice}")
+                    mlog.log(it + 1, val_dice=float(val_dice))
+                    if val_dice > best_dice:
+                        # keep a best-by-val-dice checkpoint — the reference
+                        # INTENDS this (train_all.py:566-573) but its save
+                        # crashes (quirk Q1); tag dirs don't affect resume
+                        ckpt.save_checkpoint(self.segsr_ckpt, state,
+                                             step="best")
                     best_dice = max(best_dice, val_dice)
                 ckpt.save_checkpoint(self.segsr_ckpt, state)
+        loader.close()
         ckpt.save_checkpoint(self.segsr_ckpt, state, step=total_steps)
         return seg, state, best_dice
+
+    # ------------------------------------------------ stage 2, all folds
+
+    def _fold_splits(self, n_folds=None):
+        """Per-fold train/val subject lists: nnUNet splits_final.json when
+        seg_path is configured, else synthetic round-robin K-fold."""
+        c = self.cfg
+        if c.seg_path:
+            splits = load_splits(c.seg_path)
+            if n_folds:
+                splits = splits[:n_folds]
+            return [(sp["train"], sp["val"]) for sp in splits]
+        subjects = [s.replace("_0000.nii.gz", "").replace(".nii.gz", "")
+                    for s in sorted(os.listdir(c.data_path))]
+        k = int(n_folds or (c.extra or {}).get("synthetic_folds", 2))
+        out = []
+        for f in range(k):
+            val = subjects[f::k]
+            out.append(([s for s in subjects if s not in val], val))
+        return out
+
+    def stage2_segsr_all_folds(self, flavr_model=None, flavr_params=None,
+                               n_folds=None):
+        """Train ALL K folds' stage-2 models simultaneously, one fold per
+        device (BASELINE.json config #5 — the reference trains folds as
+        sequential single-GPU runs, train_all.py:577-583).
+
+        Fold-parallelism via shard_map over a 1-D 'fold' mesh
+        (parallel.fold_parallel): per-fold params/opt-state/batches carry a
+        leading fold axis; there is zero cross-fold communication. Stage 1
+        runs once, shared by all folds — self-SR is label-free per-subject
+        training, but note the shared SR model sees every fold's training
+        volumes (incl. labels as interpolation channels); for strict
+        per-fold CV hygiene run folds individually like the reference.
+
+        Requires n_devices >= K. Per-fold checkpoints land in
+        <checkpoint_path>/segsr_fold{k}; per-fold eval uses each fold's own
+        val split.
+        """
+        from .parallel.fold_parallel import (
+            make_fold_mesh, stack_fold_states, unstack_fold_state,
+            make_fold_parallel_step, place_fold_state, place_fold_batch)
+
+        c = self.cfg
+        sep = int(c.slice_separation)
+        arch, patch_size_zyx, patch_xyz, patch_ori = self._seg_arch_and_patches()
+        folds = self._fold_splits(n_folds)
+        K = len(folds)
+        mesh = make_fold_mesh(K)
+
+        seg = SegModel(num_classes=2, upscale=sep, input_channels=1, arch=arch)
+        dist = None
+        if c.enable_distillation:
+            dist, _ = self._make_distiller(arch)
+            flavr_model, flavr_params = self._ensure_flavr_teacher(
+                flavr_model, flavr_params)
+
+        datasets, loaders, ckpt_dirs = [], [], []
+        device_augment = bool((c.extra or {}).get("device_augment", True))
+        for k, (train_sub, _) in enumerate(folds):
+            ds = SegSRDataset(self.segsr_h5_path, train_sub,
+                              c.slice_thickness, c.target_thickness,
+                              patch_ori, patch_xyz, c.random_flip,
+                              c.enable_uncertainty,
+                              device_augment=device_augment, seed=k)
+            datasets.append(ds)
+            loaders.append(BatchLoader(ds, c.batch_size_segsr, seed=k))
+            ckpt_dirs.append(self.segsr_ckpt + f"_fold{k}")
+
+        iters_per_epoch = max(min(len(d) for d in datasets)
+                              // c.batch_size_segsr, 1)
+        sched = poly_epoch_schedule(c.lr_segsr, c.epochs, iters_per_epoch)
+        if c.enable_distillation:
+            tx = nesterov_sgd(sched)
+        else:
+            from .train.optim import nesterov_sgd_grouped
+            tx = nesterov_sgd_grouped(c.lr_segsr, sched)
+
+        states = []
+        for k in range(K):
+            seg_params = self._init_seg_params(seg, arch, patch_size_zyx, k)
+            params = seg_params
+            if c.enable_distillation:
+                _, dparams = self._make_distiller(arch)
+                params = {"seg": seg_params, "distiller": dparams}
+            st = TrainState.create(params, tx)
+            if ckpt.has_checkpoint(ckpt_dirs[k]):
+                st = ckpt.restore_checkpoint(ckpt_dirs[k], st)
+            states.append(st)
+
+        stacked = place_fold_state(stack_fold_states(states), mesh)
+        fparams_k = jax.tree.map(
+            lambda x: jnp.broadcast_to(jnp.asarray(x)[None],
+                                       (K,) + jnp.asarray(x).shape),
+            flavr_params)
+        fparams_k = place_fold_batch(fparams_k, mesh)
+
+        base_step = make_seg_train_step(
+            seg, tx, enable_uncertainty=c.enable_uncertainty,
+            enable_distillation=c.enable_distillation,
+            flavr_model=flavr_model, distiller=dist,
+            teacher_window_chunk=(c.extra or {}).get("teacher_window_chunk"),
+            donate=False)
+        fold_step = make_fold_parallel_step(base_step, mesh)
+
+        aug_fn = None
+        if device_augment:
+            from .data.device_aug import augment_seg_batch
+            patch_hw = (patch_xyz[1], patch_xyz[0])
+            aug_fn = jax.jit(lambda kk, a, b, cc, d: augment_seg_batch(
+                kk, a, b, cc, d, patch_hw=patch_hw,
+                enable_uncertainty=c.enable_uncertainty))
+        aug_key = jax.random.key(0)
+
+        total_steps = c.epochs * iters_per_epoch
+        start = int(np.min(np.asarray(stacked.step)))
+        mlog = MetricsLogger(self.segsr_ckpt + "_folds")
+        best = [0.0] * K
+        print(f"TRAINING NETWORK REHRSeg x{K} folds ({total_steps} steps, "
+              f"mesh={dict(mesh.shape)})")
+        for it in range(start, total_steps):
+            fold_batches = []
+            for k in range(K):
+                b = loaders[k].next()
+                if aug_fn is not None:
+                    aug_key, sub = jax.random.split(aug_key)
+                    img_a, llr_a, lhr_a, unc_a = aug_fn(
+                        sub, jnp.asarray(b["img"]),
+                        jnp.asarray(b["label_lr"]),
+                        jnp.asarray(b["label_hr"]),
+                        jnp.asarray(b["uncertainty_lr"]))
+                    fold_batches.append(SegBatch(img_a, llr_a, lhr_a, unc_a))
+                else:
+                    fold_batches.append(SegBatch(
+                        jnp.asarray(b["img"]), jnp.asarray(b["label_lr"]),
+                        jnp.asarray(b["label_hr"]),
+                        jnp.asarray(b["uncertainty_lr"])))
+            batch = place_fold_batch(
+                jax.tree.map(lambda *xs: jnp.stack(xs), *fold_batches), mesh)
+            stacked, metrics = fold_step(stacked, fparams_k, batch)
+            if (it + 1) % 100 == 0 or it + 1 == total_steps:
+                losses = np.asarray(metrics["loss"]).reshape(-1)
+                mlog.log(it + 1, **{f"loss_fold{k}": float(losses[k])
+                                    for k in range(K)})
+            if (it + 1) % c.save_iters_segsr == 0 or it + 1 == total_steps:
+                per_fold = unstack_fold_state(stacked, K)
+                for k, st in enumerate(per_fold):
+                    seg_p = (st.params["seg"] if c.enable_distillation
+                             else st.params)
+                    val_sub = folds[k][1]
+                    if val_sub:
+                        val_dice = evaluate(
+                            seg, seg_p, patch_ori[::-1], c.data_path,
+                            c.data_path.replace("imagesTr", "labelsTr"),
+                            val_sub, c.slice_separation,
+                            mirror=self.eval_mirror)
+                        print(f"Eval fold {k}: {val_dice}")
+                        mlog.log(it + 1, **{f"val_dice_fold{k}":
+                                            float(val_dice)})
+                        if val_dice > best[k]:
+                            ckpt.save_checkpoint(ckpt_dirs[k], st,
+                                                 step="best")
+                            best[k] = val_dice
+                    ckpt.save_checkpoint(ckpt_dirs[k], st,
+                                         step=(total_steps
+                                               if it + 1 == total_steps
+                                               else None))
+        return seg, unstack_fold_state(stacked, K), best
 
     # ------------------------------------------------------------ run all
 
@@ -609,10 +877,13 @@ class Pipeline:
         self.postprocess_flavr()
         model = unc_model if unc_model is not None else flavr_model
         mstate = unc_state if unc_state is not None else flavr_state
+        if self.cfg.fold == "all":
+            return self.stage2_segsr_all_folds(
+                model, mstate.params if mstate else None)
         return self.stage2_segsr(model, mstate.params if mstate else None)
 
 
-def main(config_path: str, fold: int | None = None, **overrides):
+def main(config_path: str, fold: int | str | None = None, **overrides):
     from .config import load_config
     cfg = load_config(config_path, fold=fold, **overrides)
     if not Path(cfg.data_path).exists():

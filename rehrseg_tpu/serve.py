@@ -121,17 +121,21 @@ class Segmenter:
 
 def load_segmenter_from_checkpoint(ckpt_dir: str, arch: dict, patch_size,
                                    slice_separation: int = 4,
-                                   num_classes: int = 2, **kw) -> Segmenter:
+                                   num_classes: int = 2,
+                                   step: int | str | None = None,
+                                   **kw) -> Segmenter:
     """Restore a trained stage-2 checkpoint into a Segmenter.
 
     Uses a template-free restore so both plain and distillation-trained
     checkpoints (params = {'seg': ..., 'distiller': ...}) load.
+    ``step``: a step number, the tag "best" (best-by-val-dice save), or None
+    for the latest step.
     """
     from .train import checkpoint as ckpt
 
     model = SegModel(num_classes=num_classes, upscale=slice_separation,
                      arch=arch)
-    restored = ckpt.restore_checkpoint_raw(ckpt_dir)
+    restored = ckpt.restore_checkpoint_raw(ckpt_dir, step=step)
     p = restored["params"]
     if isinstance(p, dict) and "seg" in p:
         p = p["seg"]

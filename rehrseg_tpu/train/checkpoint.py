@@ -22,21 +22,27 @@ def _to_host(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
-def save_checkpoint(directory: str, state: TrainState, step: int | None = None,
+def save_checkpoint(directory: str, state: TrainState,
+                    step: int | str | None = None,
                     name: str = "state") -> str:
-    """Write a checkpoint under directory/<step>/<name>."""
-    step = int(state.step) if step is None else int(step)
+    """Write a checkpoint under directory/<step>/<name>.
+
+    ``step`` may be a string tag (e.g. "best") — tag dirs are ignored by
+    latest_step(), so tagged saves never interfere with step-based resume."""
+    if step is None:
+        step = int(state.step)
     path = os.path.join(os.path.abspath(directory), str(step))
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(os.path.join(path, name),
                    {"params": _to_host(state.params),
                     "opt_state": _to_host(state.opt_state),
-                    "step": step},
+                    "step": step if isinstance(step, int) else int(state.step)},
                    force=True)
     return path
 
 
-def restore_checkpoint(directory: str, state: TrainState, step: int | None = None,
+def restore_checkpoint(directory: str, state: TrainState,
+                       step: int | str | None = None,
                        name: str = "state") -> TrainState:
     """Restore into the structure of ``state`` (so shardings/dtypes match)."""
     directory = os.path.abspath(directory)
@@ -55,7 +61,7 @@ def restore_checkpoint(directory: str, state: TrainState, step: int | None = Non
                       step=int(restored["step"]))
 
 
-def restore_checkpoint_raw(directory: str, step: int | None = None,
+def restore_checkpoint_raw(directory: str, step: int | str | None = None,
                            name: str = "state") -> dict:
     """Template-free restore: returns the saved {'params', 'opt_state',
     'step'} tree as host numpy arrays, whatever its structure (e.g. stage-2

@@ -2,8 +2,11 @@
 
   - Stage 1 (SR): Adam(betas=(0.9, 0.99)) + OneCycleLR over n_steps
     (reference train_all.py:282-289,359-366; torch OneCycleLR defaults:
-    cosine anneal, pct_start 0.3, div_factor 25, final_div_factor 1e4 —
-    optax.cosine_onecycle_schedule implements exactly this curve).
+    cosine anneal, pct_start 0.3, div_factor 25, final_div_factor 1e4).
+    The curve is implemented directly rather than via
+    optax.cosine_onecycle_schedule, which emits NaN for every step when
+    transition_steps is tiny (its phase-interval size rounds to zero) —
+    tiny smoke-test runs would silently train with a NaN learning rate.
   - Stage 2 (seg): SGD(momentum=0.99, nesterov, weight_decay=3e-5) with
     PolynomialLR stepped PER EPOCH (train_all.py:513-514,575) — torch
     PolynomialLR default power=1.0, so lr(e) = lr0 * (1 - e/total_iters).
@@ -14,11 +17,37 @@ from __future__ import annotations
 import optax
 
 
+def cosine_onecycle_schedule(max_lr: float, total_steps: int,
+                             pct_start: float = 0.3,
+                             div_factor: float = 25.0,
+                             final_div_factor: float = 1e4):
+    """Torch-OneCycleLR-shaped schedule, safe for any total_steps >= 1:
+    cosine ramp init_lr -> max_lr over pct_start*total, then cosine anneal
+    max_lr -> final_lr over the remainder."""
+    import jax.numpy as jnp
+
+    total = max(float(total_steps), 1.0)
+    warm = pct_start * total
+    init_lr = max_lr / div_factor
+    final_lr = init_lr / final_div_factor
+
+    def _anneal(start, end, pct):
+        return end + (start - end) * 0.5 * (1.0 + jnp.cos(jnp.pi * pct))
+
+    def sched(count):
+        c = jnp.clip(jnp.asarray(count, jnp.float32), 0.0, total)
+        pct_up = jnp.where(warm > 0, c / jnp.maximum(warm, 1e-9), 1.0)
+        pct_down = (c - warm) / jnp.maximum(total - warm, 1e-9)
+        up = _anneal(init_lr, max_lr, jnp.clip(pct_up, 0.0, 1.0))
+        down = _anneal(max_lr, final_lr, jnp.clip(pct_down, 0.0, 1.0))
+        return jnp.where(c < warm, up, down)
+
+    return sched
+
+
 def onecycle_adam(max_lr: float, total_steps: int,
                   betas=(0.9, 0.99)) -> optax.GradientTransformation:
-    sched = optax.cosine_onecycle_schedule(
-        transition_steps=total_steps, peak_value=max_lr,
-        pct_start=0.3, div_factor=25.0, final_div_factor=1e4)
+    sched = cosine_onecycle_schedule(max_lr, total_steps)
     return optax.adam(sched, b1=betas[0], b2=betas[1]), sched
 
 

@@ -9,4 +9,3 @@ from .patch import (
 )
 from .timer import timer_context, StepTimer
 from .rotate import rotate_vol_2d
-from .progress import parse_device, LossProgBar

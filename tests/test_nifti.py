@@ -68,3 +68,44 @@ def test_lazy_h5(tmp_path, rng):
     sub = image["img_hr"]
     assert sub.shape == (4, 4, 4)
     assert np.allclose(sub[:], arr)
+
+
+def test_lr_axis_orientation_quirks(rng):
+    """Pin the reference's lr_axis_to_z permutations AND its quirk that
+    z_axis_to_lr_axis applies the SAME permutation (not the inverse) — an
+    involution only for lr_axis==2 (parse_image_file.py:100-131)."""
+    from rehrseg_tpu.io import lr_axis_to_z, z_axis_to_lr_axis
+    img = rng.normal(size=(3, 4, 5, 2))
+    assert np.array_equal(lr_axis_to_z(img, 0), img.transpose(2, 0, 1, 3))
+    assert np.array_equal(lr_axis_to_z(img, 1), img.transpose(1, 2, 0, 3))
+    assert np.array_equal(lr_axis_to_z(img, 2), img)
+    for ax in (0, 1, 2):
+        assert np.array_equal(z_axis_to_lr_axis(img, ax),
+                              lr_axis_to_z(img, ax))
+    # 5D inputs are squeezed first
+    assert lr_axis_to_z(img[None, ..., :1], 0).shape == (5, 3, 4)
+
+
+def test_volume_dataclass_and_h5_store(tmp_path, rng):
+    from rehrseg_tpu.io import load_volume, write_h5, H5Store
+    arr = rng.normal(size=(4, 5, 6)).astype(np.float32)
+    path = str(tmp_path / "sub.h5")
+    write_h5(path, img=arr, seg=(arr > 0).astype(np.uint8))
+    vol = load_volume(path, 4.0, 1.0)
+    assert isinstance(vol.data, H5Store)
+    assert sorted(vol.data.keys()) == ["img", "seg"]
+    ds = vol.data["img"]
+    assert ds[...] is ds  # Ellipsis returns the handle (reference semantics)
+    assert np.array_equal(ds.ravel(), arr.ravel())
+    assert np.array_equal(ds[1:3], arr[1:3])
+    assert vol.as_reference_tuple()[1] == 4.0
+
+
+def test_normalize_roundtrip(rng):
+    from rehrseg_tpu.io import normalize, inv_normalize
+    x = rng.normal(size=(8, 8)).astype(np.float64) * 7 + 3
+    y, lo, hi = normalize(x, a=-1, b=1)
+    assert y.min() == pytest.approx(-1) and y.max() == pytest.approx(1)
+    assert np.allclose(inv_normalize(y, lo, hi, a=-1, b=1), x)
+    y0, lo0, hi0 = normalize(x, a=0, b=1)
+    assert np.allclose(inv_normalize(y0, lo0, hi0, a=0, b=1), x)

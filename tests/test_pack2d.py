@@ -1,0 +1,131 @@
+"""Exactness tests for the space-to-depth packed conv primitives
+(ops.pack2d): every packed op must reproduce its unpacked counterpart to
+float tolerance — the packed eval path is a layout change, not an
+approximation."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rehrseg_tpu.ops.pack2d import (
+    space_to_depth_hw, depth_to_space_hw, offset_pack_hw, aligned_to_offset_hw,
+    pack_conv_weights, pack_transpconv_weights, pack_bias,
+    conv_packed, pointwise_packed_transpconv, instance_norm_packed,
+)
+
+
+def _conv_ref(x, w, strides=(1, 1, 1)):
+    """The unpacked ConvNormAct conv: SAME-style torch padding k//2."""
+    pad = tuple((k // 2, k // 2) for k in w.shape[:3])
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=strides, padding=pad,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+
+def test_space_to_depth_roundtrip(rng):
+    x = jnp.asarray(rng.normal(size=(2, 3, 8, 10, 5)).astype(np.float32))
+    xp = space_to_depth_hw(x)
+    assert xp.shape == (2, 3, 4, 5, 20)
+    np.testing.assert_array_equal(np.asarray(depth_to_space_hw(xp)),
+                                  np.asarray(x))
+    # channel order (dy, dx, c)
+    np.testing.assert_array_equal(np.asarray(xp[0, 0, 1, 2, 5:10]),
+                                  np.asarray(x[0, 0, 2, 5, :]))  # dy0 dx1
+
+
+@pytest.mark.parametrize("kd", [1, 3])
+def test_packed_conv_stride1(rng, kd):
+    x = jnp.asarray(rng.normal(size=(2, 4, 8, 12, 3)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(kd, 3, 3, 3, 5)).astype(np.float32))
+    ref = _conv_ref(x, w)
+    yp = conv_packed(offset_pack_hw(x), pack_conv_weights(w), None)
+    got = depth_to_space_hw(yp)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("kd,ds", [(3, 1), (3, 2), (1, 1)])
+def test_packed_conv_strided(rng, kd, ds):
+    """stride (ds, 2, 2): packed conv with unpacked output at half res."""
+    x = jnp.asarray(rng.normal(size=(2, 4, 8, 12, 3)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(kd, 3, 3, 3, 5)).astype(np.float32))
+    ref = _conv_ref(x, w, strides=(ds, 2, 2))
+    wp = pack_conv_weights(w, packed_out=False)
+    got = conv_packed(offset_pack_hw(x), wp, None, d_stride=ds)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_packed_conv_concat_splits(rng):
+    """Concat of two packed tensors + packed conv == concat + SAME conv."""
+    a = jnp.asarray(rng.normal(size=(1, 2, 8, 8, 3)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(1, 2, 8, 8, 4)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(1, 3, 3, 7, 6)).astype(np.float32))
+    ref = _conv_ref(jnp.concatenate([a, b], axis=-1), w)
+    # offset-repack PER TENSOR, then concat: depth_to_space on a concat of
+    # packed tensors would scramble (the (dy,dx,c) order doesn't span the
+    # concat boundary) — the packed model must follow the same rule
+    xp = jnp.concatenate([aligned_to_offset_hw(space_to_depth_hw(a)),
+                          aligned_to_offset_hw(space_to_depth_hw(b))],
+                         axis=-1)
+    wp = pack_conv_weights(w, in_splits=[3, 4])
+    got = depth_to_space_hw(conv_packed(xp, wp, None))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("kd", [1, 2])
+def test_packed_transpconv(rng, kd):
+    """Pointwise packed form == flax ConvTranspose(kernel==stride)."""
+    import flax.linen as nn
+    from rehrseg_tpu.models.layers import conv_transpose_torch
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return conv_transpose_torch(x, 5, (kd, 2, 2), (kd, 2, 2),
+                                        (0, 0, 0), name="t", use_bias=True)
+
+    x = jnp.asarray(rng.normal(size=(2, 3, 4, 6, 3)).astype(np.float32))
+    m = M()
+    p = m.init(jax.random.key(0), x)
+    ref = m.apply(p, x)
+    wt = p["params"]["t"]["kernel"]
+    bias = p["params"]["t"]["bias"]
+    yp = pointwise_packed_transpconv(x, pack_transpconv_weights(wt),
+                                     pack_bias(bias))
+    got = depth_to_space_hw(yp)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_instance_norm_packed(rng):
+    from rehrseg_tpu.models.layers import InstanceNorm
+
+    x = jnp.asarray(rng.normal(size=(2, 3, 8, 10, 4)).astype(np.float32) * 3)
+    norm = InstanceNorm(epsilon=1e-5, use_affine=True)
+    p = norm.init(jax.random.key(0), x)
+    scale = jnp.asarray(rng.normal(size=(4,)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(4,)).astype(np.float32))
+    p = {"params": {"scale": scale, "bias": bias}}
+    ref = norm.apply(p, x)
+    got = depth_to_space_hw(
+        instance_norm_packed(space_to_depth_hw(x), scale, bias, 1e-5))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_packed_bias(rng):
+    x = jnp.asarray(rng.normal(size=(1, 2, 6, 6, 3)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(1, 3, 3, 3, 5)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(5,)).astype(np.float32))
+    pad = ((0, 0), (1, 1), (1, 1))
+    ref = jax.lax.conv_general_dilated(
+        x, w, window_strides=(1, 1, 1), padding=pad,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC")) + b
+    got = depth_to_space_hw(conv_packed(offset_pack_hw(x),
+                                        pack_conv_weights(w), pack_bias(b)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)

@@ -1,0 +1,83 @@
+"""segmodel_apply_packed must reproduce SegModel.apply exactly (float
+tolerance) — it's the same network in a different memory layout."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rehrseg_tpu.models import SegModel
+from rehrseg_tpu.models.segnet_packed import segmodel_apply_packed
+
+
+ARCH_SMALL = dict(
+    n_stages=4,
+    features_per_stage=(8, 16, 32, 32),
+    kernel_sizes=((1, 3, 3), (3, 3, 3), (3, 3, 3), (3, 3, 3)),
+    strides=((1, 1, 1), (1, 2, 2), (2, 2, 2), (1, 2, 2)),
+    n_conv_per_stage=(2, 2, 2, 2),
+    n_conv_per_stage_decoder=(2, 2, 2),
+    conv_bias=True, norm_eps=1e-5, norm_affine=True, nonlin_slope=0.01,
+)
+
+
+def _setup(arch, rng, shape=(2, 8, 32, 48, 1)):
+    model = SegModel(num_classes=2, upscale=4, arch=dict(arch))
+    x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    params = model.init(jax.random.key(0), x[:1])
+    # non-trivial norm affine + biases so layout bugs can't hide
+    params = jax.tree.map(
+        lambda a: a + 0.05 * np.random.default_rng(a.size).standard_normal(
+            a.shape).astype(a.dtype), params)
+    return model, params, x
+
+
+@pytest.mark.parametrize("pack_max", [0, 16, 64])
+def test_packed_matches_reference_lr(rng, pack_max):
+    """pack_max=0 exercises the all-standard functional path; 16/64 pack
+    progressively more stages. All must equal SegModel.apply."""
+    model, params, x = _setup(ARCH_SMALL, rng)
+    ref_lr, _ = model.apply(params, x)
+    got_lr = segmodel_apply_packed(ARCH_SMALL, params, x,
+                                   pack_max_channels=pack_max)
+    np.testing.assert_allclose(np.asarray(got_lr), np.asarray(ref_lr),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_packed_matches_reference_dual(rng):
+    model, params, x = _setup(ARCH_SMALL, rng)
+    ref_lr, ref_hr = model.apply(params, x)
+    got_lr, got_hr = segmodel_apply_packed(
+        ARCH_SMALL, params, x, pack_max_channels=64, dual=True, upscale=4)
+    np.testing.assert_allclose(np.asarray(got_lr), np.asarray(ref_lr),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_hr), np.asarray(ref_hr),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_packed_matches_under_jit_bf16(rng):
+    """The eval path runs jitted in bf16: packed and unpacked must agree to
+    bf16 tolerance there too (same math, same dtype)."""
+    model, params, x = _setup(ARCH_SMALL, rng)
+    params16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+    x16 = x.astype(jnp.bfloat16)
+
+    ref = jax.jit(lambda p, b: model.apply(p, b)[0])(params16, x16)
+    got = jax.jit(lambda p, b: segmodel_apply_packed(
+        ARCH_SMALL, p, b, pack_max_channels=64))(params16, x16)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=0.1, atol=0.15)
+
+
+def test_packed_odd_spatial_falls_back(rng):
+    """Stages whose in-plane dims go odd can't pack (here stage 3 at 5x7) —
+    those fall back to the standard path and the forward stays exact.
+    (Dims must still satisfy nnUNet's stride divisibility, which real
+    plans.json patches guarantee.)"""
+    model, params, x = _setup(ARCH_SMALL, rng, shape=(1, 8, 40, 56, 1))
+    ref_lr, _ = model.apply(params, x)
+    got_lr = segmodel_apply_packed(ARCH_SMALL, params, x,
+                                   pack_max_channels=64)
+    np.testing.assert_allclose(np.asarray(got_lr), np.asarray(ref_lr),
+                               rtol=2e-4, atol=2e-4)

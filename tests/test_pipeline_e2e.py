@@ -139,3 +139,45 @@ def test_full_pipeline_e2e(synthetic_dataset):
     pipe2 = Pipeline(cfg)
     seg_model2, state2, _ = pipe2.run()
     assert int(state2.step) >= int(state.step)
+
+
+def test_fold_splits_synthetic(synthetic_dataset):
+    cfg = _tiny_config(synthetic_dataset)
+    cfg.fold = "all"
+    pipe = Pipeline(cfg)
+    folds = pipe._fold_splits()
+    assert len(folds) == 2
+    for train, val in folds:
+        assert train and val
+        assert not (set(train) & set(val))
+    # every subject is exactly one fold's val subject
+    all_val = [s for _, val in folds for s in val]
+    assert sorted(all_val) == ["sub1", "sub2"]
+
+
+@pytest.mark.slow
+def test_fold_parallel_stage2_e2e(synthetic_dataset):
+    """VERDICT round-1 item 5: `--fold all` trains K folds simultaneously on
+    the CPU mesh, with per-fold checkpoints + eval (BASELINE config #5)."""
+    cfg = _tiny_config(synthetic_dataset)
+    cfg.fold = "all"
+    cfg.save_iters_segsr = 2   # trigger one eval + save inside the loop
+    pipe = Pipeline(cfg)
+    seg, states, best = pipe.run()
+
+    assert len(states) == 2 and len(best) == 2
+    from rehrseg_tpu.train import checkpoint as ckpt
+    for k in range(2):
+        assert ckpt.has_checkpoint(pipe.segsr_ckpt + f"_fold{k}")
+    # folds trained on different subjects -> different params
+    leaves0 = np.concatenate([np.ravel(x)[:8] for x in
+                              np.asarray(states[0].params["seg"]["params"]
+                                         ["encoder"]["stage_0"]["conv_0"]
+                                         ["conv"]["kernel"])[None]])
+    leaves1 = np.concatenate([np.ravel(x)[:8] for x in
+                              np.asarray(states[1].params["seg"]["params"]
+                                         ["encoder"]["stage_0"]["conv_0"]
+                                         ["conv"]["kernel"])[None]])
+    assert not np.allclose(leaves0, leaves1)
+    assert os.path.exists(os.path.join(pipe.segsr_ckpt + "_folds",
+                                       "metrics.jsonl"))

@@ -35,6 +35,17 @@ def test_onecycle_schedule_shape():
     assert lrs[2] < 1e-6
 
 
+def test_onecycle_schedule_tiny_steps_finite():
+    # regression: optax.cosine_onecycle_schedule yields NaN for ALL steps
+    # when transition_steps is tiny — smoke-test runs then silently train
+    # with a NaN learning rate
+    for total in (1, 2, 3, 5):
+        _, sched = onecycle_adam(1e-3, total)
+        lrs = np.asarray([float(sched(i)) for i in range(total + 2)])
+        assert np.all(np.isfinite(lrs)), (total, lrs)
+        assert np.all(lrs > 0) and np.all(lrs <= 1e-3 * 1.0001)
+
+
 def test_poly_epoch_schedule():
     sched = poly_epoch_schedule(1e-3, 10, iters_per_epoch=5)
     assert float(sched(0)) == pytest.approx(1e-3)
