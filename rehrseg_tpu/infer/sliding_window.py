@@ -86,51 +86,100 @@ def _unmirror_mean(preds: jnp.ndarray, combos):
     return sum(parts) / len(parts)
 
 
+def _mesh_axis(mesh, name):
+    return name if (mesh is not None and name in mesh.axis_names and
+                    mesh.shape[name] > 1) else None
+
+
 @partial(jax.jit, static_argnames=("model_fn", "patch_size", "out_shape",
                                    "z_scale", "mirror", "num_classes",
-                                   "tta_mesh"))
+                                   "tta_mesh", "tiles_per_step"))
 def _sliding_window_scan(model_fn: Callable, params, data: jnp.ndarray,
                          starts: jnp.ndarray, gaussian: jnp.ndarray,
                          patch_size: tuple, out_shape: tuple, z_scale: int,
-                         mirror: bool, num_classes: int, tta_mesh=None):
+                         mirror: bool, num_classes: int, tta_mesh=None,
+                         tiles_per_step: int = 1):
     """Jitted tile loop. data: (D, H, W, C); returns (logits, weights).
 
-    With ``tta_mesh`` (a Mesh with a 'data' axis) the 8-way mirror-TTA batch
-    shards across chips — one flip per device, bit-identical results,
-    near-linear multi-chip inference speedup.
+    Multi-chip sharding of ONE volume via ``tta_mesh`` (a Mesh; despite the
+    historical name it supports both axes):
+
+      - a 'data' axis shards the 8-way mirror-TTA batch — one flip per
+        device, zero cross-device communication inside the model;
+      - a 'spatial' axis shards the tile's H dimension through the model
+        forward — XLA's SPMD partitioner inserts the halo exchanges every
+        conv needs at shard boundaries, and the volume + accumulator
+        buffers shard along H so no device holds the whole volume (the TPU
+        answer to volumes larger than one chip's HBM; the reference can
+        only tile within a single GPU, seg_utils.py:229-287).
+
+    Both can combine on a 2-D ('data', 'spatial') mesh. Results are
+    bit-identical to the single-device pass (tests/test_multichip.py).
+
+    tiles_per_step: batch k tiles' mirror stacks into ONE forward of
+    k*n_tta — bigger batches utilize the MXU better and amortize per-step
+    overhead; the packed eval path's 4x smaller activations make k=2
+    fit in HBM at the reference patch size. The caller pads the start list
+    to a multiple of k; padded entries carry validity 0 in ``starts``'
+    fourth column and contribute NOTHING to the accumulators (a plain
+    repeat would double-weight that tile in overlap regions).
     """
     pd, ph, pw = patch_size
     od = pd * z_scale
     combos = _flip_axes_combinations(3) if mirror else [()]
 
+    data_ax = _mesh_axis(tta_mesh, "data")
+    spatial_ax = _mesh_axis(tta_mesh, "spatial")
+
+    def shard(x, spec):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return lax.with_sharding_constraint(
+            x, NamedSharding(tta_mesh, spec))
+
+    if spatial_ax:
+        from jax.sharding import PartitionSpec as P
+        data = shard(data, P(None, spatial_ax))
+
     logits0 = jnp.zeros((*out_shape, num_classes), dtype=jnp.float32)
     weights0 = jnp.zeros(out_shape, dtype=jnp.float32)
+    if spatial_ax:
+        from jax.sharding import PartitionSpec as P
+        logits0 = shard(logits0, P(None, spatial_ax))
+        weights0 = shard(weights0, P(None, spatial_ax))
 
-    def tile_step(carry, start):
+    k = int(tiles_per_step)
+    n_tta = len(combos)
+
+    def tile_step(carry, start_k):
+        # start_k: (k, 4) rows of (sx, sy, sz, valid) for ONE batched fwd
         logits_buf, weight_buf = carry
-        sx, sy, sz = start[0], start[1], start[2]
-        tile = lax.dynamic_slice(
-            data, (sx, sy, sz, 0), (pd, ph, pw, data.shape[-1]))
-        batch = _mirror_batch(tile, combos)
-        if tta_mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            batch = lax.with_sharding_constraint(
-                batch, NamedSharding(tta_mesh, P("data")))
-        preds = model_fn(params, batch)  # (n_tta, od, ph, pw, num_classes)
-        pred = _unmirror_mean(preds, combos)
-        pred = pred.astype(jnp.float32) * gaussian[..., None]
-
-        zo = sx * z_scale
-        cur = lax.dynamic_slice(logits_buf, (zo, sy, sz, 0),
-                                (od, ph, pw, num_classes))
-        logits_buf = lax.dynamic_update_slice(logits_buf, cur + pred,
-                                              (zo, sy, sz, 0))
-        curw = lax.dynamic_slice(weight_buf, (zo, sy, sz), (od, ph, pw))
-        weight_buf = lax.dynamic_update_slice(weight_buf, curw + gaussian,
-                                              (zo, sy, sz))
+        tiles = [lax.dynamic_slice(
+            data, (start_k[j, 0], start_k[j, 1], start_k[j, 2], 0),
+            (pd, ph, pw, data.shape[-1])) for j in range(k)]
+        batch = jnp.concatenate([_mirror_batch(t, combos) for t in tiles]) \
+            if k > 1 else _mirror_batch(tiles[0], combos)
+        if data_ax or spatial_ax:
+            from jax.sharding import PartitionSpec as P
+            batch = shard(batch, P(data_ax, None, spatial_ax))
+        preds = model_fn(params, batch)  # (k*n_tta, od, ph, pw, classes)
+        for j in range(k):
+            valid = start_k[j, 3].astype(jnp.float32)
+            g_j = gaussian * valid
+            pred = _unmirror_mean(preds[j * n_tta:(j + 1) * n_tta], combos)
+            pred = pred.astype(jnp.float32) * g_j[..., None]
+            sx, sy, sz = start_k[j, 0], start_k[j, 1], start_k[j, 2]
+            zo = sx * z_scale
+            cur = lax.dynamic_slice(logits_buf, (zo, sy, sz, 0),
+                                    (od, ph, pw, num_classes))
+            logits_buf = lax.dynamic_update_slice(logits_buf, cur + pred,
+                                                  (zo, sy, sz, 0))
+            curw = lax.dynamic_slice(weight_buf, (zo, sy, sz), (od, ph, pw))
+            weight_buf = lax.dynamic_update_slice(weight_buf, curw + g_j,
+                                                  (zo, sy, sz))
         return (logits_buf, weight_buf), None
 
-    (logits, weights), _ = lax.scan(tile_step, (logits0, weights0), starts)
+    starts_k = starts.reshape(-1, k, starts.shape[-1])
+    (logits, weights), _ = lax.scan(tile_step, (logits0, weights0), starts_k)
     return logits, weights
 
 
@@ -150,15 +199,26 @@ def _device_gaussian(out_patch: tuple, use_gaussian: bool):
 
 
 @lru_cache(maxsize=64)
-def _device_starts(image_size: tuple, patch_size: tuple, tile_step_size: float):
-    return jnp.asarray(sliding_window_starts(image_size, patch_size,
-                                             tile_step_size))
+def _device_starts(image_size: tuple, patch_size: tuple,
+                   tile_step_size: float, tiles_per_step: int = 1):
+    """(N', 4) rows of (sx, sy, sz, valid): padded to a multiple of
+    tiles_per_step with valid=0 rows whose contributions are masked out."""
+    starts = sliding_window_starts(image_size, patch_size, tile_step_size)
+    valid = np.ones((len(starts), 1), starts.dtype)
+    rem = (-len(starts)) % tiles_per_step
+    rows = np.concatenate([starts, valid], axis=1)
+    if rem:
+        pad = np.concatenate([np.repeat(starts[-1:], rem, 0),
+                              np.zeros((rem, 1), starts.dtype)], axis=1)
+        rows = np.concatenate([rows, pad])
+    return jnp.asarray(rows)
 
 
 def _run_sliding_window(model_fn: Callable, params, data: np.ndarray,
                         patch_size, slice_separation, tile_step_size,
                         use_gaussian, mirror, num_classes,
-                        input_dtype=jnp.bfloat16, tta_mesh=None):
+                        input_dtype=jnp.bfloat16, tta_mesh=None,
+                        tiles_per_step: int = 1):
     """Shared device-side pass; returns (logits, weights) ON DEVICE.
 
     Uploads the volume as bf16 by default — the normalized input easily fits
@@ -169,14 +229,15 @@ def _run_sliding_window(model_fn: Callable, params, data: np.ndarray,
     out_patch = (patch_size[0] * slice_separation,) + patch_size[1:]
     g = _device_gaussian(out_patch, bool(use_gaussian))
     starts = _device_starts(tuple(data.shape[:3]), patch_size,
-                            float(tile_step_size))
+                            float(tile_step_size), int(tiles_per_step))
     out_shape = (data.shape[0] * slice_separation, data.shape[1], data.shape[2])
     dev_data = jnp.asarray(np.asarray(data, dtype=np.float32), dtype=input_dtype) \
         if input_dtype is not None else jnp.asarray(data)
     return _sliding_window_scan(
         model_fn, params, dev_data, starts,
         g, patch_size, out_shape, int(slice_separation),
-        bool(mirror), int(num_classes), tta_mesh)
+        bool(mirror), int(num_classes), tta_mesh,
+        tiles_per_step=int(tiles_per_step))
 
 
 def predict_sliding_window_logits(model_fn: Callable, params,
@@ -332,7 +393,7 @@ def predict_sliding_window_labels_streamed(model_fn: Callable, params,
         z_hi = group[-1] + pd
         slab = data[z_lo:z_hi]
         starts = np.asarray(
-            [(sz - z_lo, sy, sx) for sz in group for sy in y_steps
+            [(sz - z_lo, sy, sx, 1) for sz in group for sy in y_steps
              for sx in x_steps], dtype=np.int32)
         g = _device_gaussian(patch_size, bool(use_gaussian))
         dev_slab = jnp.asarray(np.asarray(slab, np.float32), dtype=input_dtype)
@@ -353,7 +414,8 @@ def predict_sliding_window_labels_many(model_fn: Callable, params,
                                        use_gaussian: bool = True,
                                        mirror: bool = True,
                                        num_classes: int = 2,
-                                       input_dtype=jnp.bfloat16):
+                                       input_dtype=jnp.bfloat16,
+                                       tiles_per_step: int = 1):
     """Throughput-oriented multi-volume prediction.
 
     JAX dispatch is asynchronous: all volumes' scans are enqueued first, so
@@ -365,7 +427,8 @@ def predict_sliding_window_labels_many(model_fn: Callable, params,
     for data in volumes:
         logits, weights = _run_sliding_window(
             model_fn, params, data, patch_size, slice_separation,
-            tile_step_size, use_gaussian, mirror, num_classes, input_dtype)
+            tile_step_size, use_gaussian, mirror, num_classes, input_dtype,
+            tiles_per_step=tiles_per_step)
         pending.append(_argmax_uint8(logits, weights))
     return [np.asarray(p) for p in pending]
 
@@ -380,7 +443,8 @@ def predict_sliding_window_labels(model_fn: Callable, params,
                                   mirror: bool = True,
                                   num_classes: int = 2,
                                   input_dtype=jnp.bfloat16,
-                                  tta_mesh=None) -> np.ndarray:
+                                  tta_mesh=None,
+                                  tiles_per_step: int = 1) -> np.ndarray:
     """Like :func:`predict_sliding_window_logits` but argmaxes ON DEVICE and
     fetches only the uint8 label map — 8x less tunnel traffic, the right
     call when probabilities aren't needed (argmax(softmax) == argmax).
@@ -389,7 +453,8 @@ def predict_sliding_window_labels(model_fn: Callable, params,
     across chips (one flip per device)."""
     logits, weights = _run_sliding_window(
         model_fn, params, data, patch_size, slice_separation, tile_step_size,
-        use_gaussian, mirror, num_classes, input_dtype, tta_mesh)
+        use_gaussian, mirror, num_classes, input_dtype, tta_mesh,
+        tiles_per_step)
     return np.asarray(_argmax_uint8(logits, weights))
 
 

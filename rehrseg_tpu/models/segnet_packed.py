@@ -1,19 +1,31 @@
 """Space-to-depth packed SegModel forward for the sliding-window eval path.
 
 Consumes STANDARD SegModel parameters (models.segnet) and computes the
-mathematically identical forward with the high-resolution low-channel stages
-in packed 2x2 layout (ops.pack2d) — C=32/64 becomes 128/256 lanes, which is
-what the MXU wants (measured 3.6 -> 18-80 TFLOP/s per conv on v5e-lite; see
-docs/BENCHMARKS.md round 2 and experiments/conv_micro*.py). Additionally all
-(1, 3, 3) convs fold D into the batch and run as 2D convs, which alone is
-~5x on XLA's TPU emitter.
+mathematically identical forward with the high-resolution low-channel
+stages in packed 2x2 layout (ops.pack2d): C=32/64/128 become 128/256/512
+lanes, which is what the MXU wants, and all (1,3,3) convs fold D into the
+batch and run as 2D convs.
+
+ZERO standalone layout passes on the hot path. Measured on v5e-lite
+(experiments/pack_overhead_micro.py): every repack/d2s/s2d costs 24-38 ms —
+more than a packed conv — so all layout changes ride inside convs instead:
+
+  unpacked -> packed   (4,4) stride-2 conv           [pack_conv_weights_
+                                                      from_unpacked]
+  offset   -> aligned  (2,2) VALID conv              [pack_conv_weights]
+  aligned  -> offset   (2,2) pad(1,1) conv            (same weights!)
+  aligned  -> strided  (2,2) pad(1,0) conv           [aligned_in_strided]
+  upsample -> aligned  pointwise conv                [pack_transpconv_*]
+
+Parities alternate through a stage so each encoder stage ends ALIGNED
+(what both the next strided conv and the decoder concat consume). Offset-
+parity tensors carry a one-pixel rim of conv spill; it is masked to zero
+around each offset conv's norm/act (elementwise, fuses).
 
 This is a pure layout transform — tests/test_packed_segmodel.py pins
-exactness against SegModel.apply to float tolerance, and the sliding-window
-engine treats it as a drop-in model_fn.
-
-Reference hot path being accelerated: nnUNet-style PlainConvUNet eval
-(seg_utils.py:240-287 / seg_model.py:153-210).
+exactness against SegModel.apply. Reference hot path being accelerated:
+nnUNet-style PlainConvUNet eval (seg_utils.py:240-287 /
+seg_model.py:153-210).
 """
 
 from __future__ import annotations
@@ -23,9 +35,12 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..ops.pack2d import (
-    space_to_depth_hw, depth_to_space_hw, offset_pack_hw, aligned_to_offset_hw,
-    pack_conv_weights, pack_transpconv_weights, pack_bias,
-    conv_packed, pointwise_packed_transpconv, instance_norm_packed,
+    space_to_depth_hw, depth_to_space_hw, offset_pack_hw,
+    offset_to_unpacked_hw,
+    pack_conv_weights, pack_conv_weights_from_unpacked,
+    pack_transpconv_weights, pack_pointwise_weights, pack_bias,
+    conv_packed, conv_packing, pointwise_packed_transpconv,
+    instance_norm_packed, offset_rim_mask,
 )
 
 
@@ -64,59 +79,96 @@ def _transpconv_std(x, wt, b, strides):
     return y + b if b is not None else y
 
 
+def _unpack(x, layout):
+    if layout == "a":
+        return depth_to_space_hw(x)
+    if layout == "o":
+        return offset_to_unpacked_hw(x)
+    return x
+
+
+def _true_hw(x, layout):
+    if layout == "a":
+        return x.shape[2] * 2, x.shape[3] * 2
+    if layout == "o":
+        return (x.shape[2] - 1) * 2, (x.shape[3] - 1) * 2
+    return x.shape[2], x.shape[3]
+
+
 def _packable(kernel, h, w, feats, pack_max_channels):
     return (feats <= pack_max_channels and kernel[1] == 3 and kernel[2] == 3
             and h % 2 == 0 and w % 2 == 0)
 
 
-def _to_offset(x, packed):
-    return aligned_to_offset_hw(x) if packed else offset_pack_hw(x)
+def _mask_offset(y, c):
+    m = offset_rim_mask(y.shape[2], y.shape[3], c, y.dtype)
+    return y * m
 
 
-def _conv_norm_act(x, packed, cp, kernel, stride, feats, a, *,
-                   pack_max_channels, in_splits=None, pre_offset=None):
-    """One ConvNormAct in packed or standard layout.
+def _conv_norm_act(x, layout, cp, kernel, stride, feats, a, *,
+                   pack_max_channels, want_out="a", in_splits=None):
+    """One ConvNormAct. x in layout 'u'/'a'/'o'; returns (y, layout').
 
-    Returns (y, y_packed). ``pre_offset``: already-offset-packed input (the
-    decoder concat path builds it per-tensor)."""
+    want_out: preferred packed output parity for stride-1 packed convs
+    ('a' or 'o') — chosen by the caller so each stage ends ALIGNED.
+    """
     w = cp["conv"]["kernel"]
     b = cp["conv"].get("bias")
     scale = cp["norm"]["scale"] if a["norm_affine"] else None
     nbias = cp["norm"]["bias"] if a["norm_affine"] else None
     eps, slope = a["norm_eps"], a["nonlin_slope"]
 
-    if pre_offset is not None:
-        h, wd = (pre_offset.shape[2] - 1) * 2, (pre_offset.shape[3] - 1) * 2
-    else:
-        h, wd = (x.shape[2] * (2 if packed else 1),
-                 x.shape[3] * (2 if packed else 1))
+    h, wd = _true_hw(x, layout)
     strided = stride[1] == 2 and stride[2] == 2
 
     if _packable(kernel, h, wd, feats, pack_max_channels):
-        xo = pre_offset if pre_offset is not None else _to_offset(x, packed)
-        if strided:
-            wp = pack_conv_weights(w, in_splits=in_splits, packed_out=False)
-            y = conv_packed(xo, wp, b, d_stride=stride[0])
-            y = _leaky(_instance_norm(y, scale, nbias, eps), slope)
-            return y, False
-        wp = pack_conv_weights(w, in_splits=in_splits, packed_out=True)
-        y = conv_packed(xo, wp, pack_bias(b) if b is not None else None)
-        y = _leaky(instance_norm_packed(y, scale, nbias, eps), slope)
-        return y, True
+        if strided and layout != "u":
+            if layout == "a":
+                wp = pack_conv_weights(w, in_splits=in_splits,
+                                       packed_out=False,
+                                       aligned_in_strided=True)
+                y = conv_packed(x, wp, b, d_stride=stride[0], hw_pad="pad10")
+            else:  # offset
+                wp = pack_conv_weights(w, in_splits=in_splits,
+                                       packed_out=False)
+                y = conv_packed(x, wp, b, d_stride=stride[0])
+            return _leaky(_instance_norm(y, scale, nbias, eps), slope), "u"
 
-    if packed:
-        x = depth_to_space_hw(x)
-    elif pre_offset is not None:
-        raise AssertionError("standard path cannot consume offset input")
+        if not strided:
+            if layout == "u":
+                w4 = pack_conv_weights_from_unpacked(w)
+                y = conv_packing(x, w4, pack_bias(b) if b is not None
+                                 else None, offset_out=(want_out == "o"))
+                out = want_out
+            elif layout == "a":
+                wp = pack_conv_weights(w, in_splits=in_splits)
+                y = conv_packed(x, wp, pack_bias(b) if b is not None
+                                else None, hw_pad="pad11")
+                out = "o"
+            else:  # offset -> aligned
+                wp = pack_conv_weights(w, in_splits=in_splits)
+                y = conv_packed(x, wp, pack_bias(b) if b is not None
+                                else None)
+                out = "a"
+            if out == "o":
+                y = _mask_offset(y, feats)
+                y = instance_norm_packed(y, scale, nbias, eps,
+                                         offset_parity=True)
+                y = _mask_offset(_leaky(y, slope), feats)
+            else:
+                y = _leaky(instance_norm_packed(y, scale, nbias, eps),
+                           slope)
+            return y, out
+
+    # ---------------- standard path
+    x = _unpack(x, layout)
     y = _conv_std(x, w, b, stride)
-    y = _leaky(_instance_norm(y, scale, nbias, eps), slope)
-    return y, False
+    return _leaky(_instance_norm(y, scale, nbias, eps), slope), "u"
 
 
 def segmodel_apply_packed(arch: dict, params, x, *, num_classes: int = 2,
-                          upscale: int = 4, pack_max_channels: int = 64,
-                          dual: bool = False,
-                          sr_packed: bool = True):
+                          upscale: int = 4, pack_max_channels: int = 128,
+                          dual: bool = False):
     """Forward identical to SegModel.apply (models/segnet.py:176-186) with
     packed high-res stages. Returns lr_logits, or (lr_logits, hr_logits)
     when ``dual``."""
@@ -128,99 +180,101 @@ def segmodel_apply_packed(arch: dict, params, x, *, num_classes: int = 2,
     p = params["params"]
     penc, pdec = p["encoder"], p["decoder"]
 
-    # ---------------- encoder
-    cur, packed = x, False
-    skips = []  # (tensor, packed)
+    # ---------------- encoder: each stage ends ALIGNED (or unpacked)
+    cur, layout = x, "u"
+    skips = []  # (tensor, layout)
     for s in range(n):
         sp = penc[f"stage_{s}"]
-        for i in range(a["n_conv_per_stage"][s]):
+        n_convs = a["n_conv_per_stage"][s]
+        for i in range(n_convs):
             st = strides[s] if i == 0 else (1, 1, 1)
-            cur, packed = _conv_norm_act(
-                cur, packed, sp[f"conv_{i}"], kernels[s], st, feats[s], a,
-                pack_max_channels=pack_max_channels)
-        skips.append((cur, packed))
+            remaining = n_convs - i
+            # pick parity so the chain lands on 'a' at the stage end
+            if layout == "u":
+                want = "o" if remaining >= 2 else "a"
+            else:
+                want = "a"
+            cur, layout = _conv_norm_act(
+                cur, layout, sp[f"conv_{i}"], kernels[s], st, feats[s], a,
+                pack_max_channels=pack_max_channels, want_out=want)
+        skips.append((cur, layout))
 
     # ---------------- decoder
-    lres, lres_packed = skips[-1]
+    lres, lres_layout = skips[-1]
     seg_logits = None
     features = None
+    features_layout = "u"
     for s in range(n - 1):
         ridx = n - 2 - s
         stride = strides[n - 1 - s]
         out_ch = feats[ridx]
         wt = pdec[f"transpconv_{s}"]["kernel"]
         bt = pdec[f"transpconv_{s}"].get("bias")
-        skip, skip_packed = skips[ridx]
+        skip, skip_layout = skips[ridx]
 
-        h_t = skip.shape[2] * (2 if skip_packed else 1)
-        w_t = skip.shape[3] * (2 if skip_packed else 1)
+        h_t, w_t = _true_hw(skip, skip_layout)
         pack_here = (_packable(kernels[ridx], h_t, w_t, out_ch,
                                pack_max_channels)
-                     and stride[1] == 2 and stride[2] == 2)
+                     and stride[1] == 2 and stride[2] == 2
+                     and skip_layout in ("a", "u"))
 
-        if lres_packed:
-            lres = depth_to_space_hw(lres)
-            lres_packed = False
+        lres = _unpack(lres, lres_layout)
+        lres_layout = "u"
 
+        sp = pdec[f"stage_{s}"]
         if pack_here:
             up = pointwise_packed_transpconv(
                 lres, pack_transpconv_weights(wt),
-                pack_bias(bt) if bt is not None else None)
-            skip_p = skip if skip_packed else space_to_depth_hw(skip)
-            xo = jnp.concatenate([aligned_to_offset_hw(up),
-                                  aligned_to_offset_hw(skip_p)], axis=-1)
-            cur, packed = None, True
-            sp = pdec[f"stage_{s}"]
-            for i in range(a["n_conv_per_stage_decoder"][s]):
-                if i == 0:
-                    cur, packed = _conv_norm_act(
-                        None, True, sp[f"conv_{i}"], kernels[ridx],
-                        (1, 1, 1), out_ch, a,
-                        pack_max_channels=pack_max_channels,
-                        in_splits=[out_ch, skip.shape[-1] //
-                                   (4 if skip_packed else 1)],
-                        pre_offset=xo)
-                else:
-                    cur, packed = _conv_norm_act(
-                        cur, packed, sp[f"conv_{i}"], kernels[ridx],
-                        (1, 1, 1), out_ch, a,
-                        pack_max_channels=pack_max_channels)
+                pack_bias(bt) if bt is not None else None)   # ALIGNED
+            skip_p = skip if skip_layout == "a" else space_to_depth_hw(skip)
+            cur = jnp.concatenate([up, skip_p], axis=-1)
+            layout = "a"
+            skip_ch = (skip.shape[-1] // 4 if skip_layout == "a"
+                       else skip.shape[-1])
+            splits = [out_ch, skip_ch]
+            n_convs = a["n_conv_per_stage_decoder"][s]
+            for i in range(n_convs):
+                cur, layout = _conv_norm_act(
+                    cur, layout, sp[f"conv_{i}"], kernels[ridx], (1, 1, 1),
+                    out_ch, a, pack_max_channels=pack_max_channels,
+                    in_splits=splits if i == 0 else None, want_out="a")
         else:
             up = _transpconv_std(lres, wt, bt, stride)
-            if skip_packed:
-                skip = depth_to_space_hw(skip)
-            cur, packed = jnp.concatenate([up, skip], axis=-1), False
-            sp = pdec[f"stage_{s}"]
+            cur = jnp.concatenate([up, _unpack(skip, skip_layout)], axis=-1)
+            layout = "u"
             for i in range(a["n_conv_per_stage_decoder"][s]):
-                cur, packed = _conv_norm_act(
-                    cur, packed, sp[f"conv_{i}"], kernels[ridx], (1, 1, 1),
-                    out_ch, a, pack_max_channels=pack_max_channels)
+                cur, layout = _conv_norm_act(
+                    cur, layout, sp[f"conv_{i}"], kernels[ridx], (1, 1, 1),
+                    out_ch, a, pack_max_channels=pack_max_channels,
+                    want_out="a")
 
         if s == n - 2:
-            features = depth_to_space_hw(cur) if packed else cur
             wseg = pdec[f"seg_layer_{s}"]["kernel"]
             bseg = pdec[f"seg_layer_{s}"]["bias"]
-            seg_logits = _conv_std(features, wseg, bseg, (1, 1, 1))
-        lres, lres_packed = cur, packed
+            if layout in ("a", "o"):
+                # pointwise seg head in packed space; unpack only the tiny
+                # (num_classes-channel) logits, not the 32-ch features
+                wp = pack_pointwise_weights(wseg[0, 0, 0].astype(cur.dtype))
+                lg = jnp.einsum("bdhwc,ce->bdhwe", cur, wp,
+                                preferred_element_type=cur.dtype)
+                lg = lg + pack_bias(bseg)
+                if layout == "o":
+                    lg = _mask_offset(lg, wseg.shape[-1])
+                seg_logits = _unpack(lg, layout)
+            else:
+                seg_logits = _conv_std(cur, wseg, bseg, (1, 1, 1))
+            features, features_layout = cur, layout
+        lres, lres_layout = cur, layout
 
     if not dual:
         return seg_logits
 
     from ..ops.bspline import upsample_axis_linear
 
+    features = _unpack(features, features_layout)
     up = upsample_axis_linear(features, upscale, axis=1, align_corners=True)
-    if sr_packed and up.shape[2] % 2 == 0 and up.shape[3] % 2 == 0:
-        # SR head runs at upscale*D full resolution with C=32/16 — pack it
-        # too; the 5x5 conv spans 3x3 packed cells (pack2d handles 3x3
-        # kernels only, so do 5x5 via two stacked passes? No: fall back to
-        # unpacked 2D fold for the 5x5)
-        w1, b1 = p["sr_head_conv1"]["kernel"], p["sr_head_conv1"]["bias"]
-        h1 = jax.nn.relu(_conv_std(up, w1, b1, (1, 1, 1)))
-        w2, b2 = p["sr_head_conv2"]["kernel"], p["sr_head_conv2"]["bias"]
-        hr = _conv_std(h1, w2, b2, (1, 1, 1))
-    else:
-        w1, b1 = p["sr_head_conv1"]["kernel"], p["sr_head_conv1"]["bias"]
-        h1 = jax.nn.relu(_conv_std(up, w1, b1, (1, 1, 1)))
-        w2, b2 = p["sr_head_conv2"]["kernel"], p["sr_head_conv2"]["bias"]
-        hr = _conv_std(h1, w2, b2, (1, 1, 1))
+    w1, b1 = p["sr_head_conv1"]["kernel"], p["sr_head_conv1"]["bias"]
+    h1 = jax.nn.relu(_conv_std(up, w1, b1, (1, 1, 1)))
+    w2, b2 = p["sr_head_conv2"]["kernel"], p["sr_head_conv2"]["bias"]
+    hr = _conv_std(h1, w2, b2, (1, 1, 1))
     return seg_logits, hr

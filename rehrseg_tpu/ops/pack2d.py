@@ -71,9 +71,34 @@ def offset_pack_hw(x: jnp.ndarray) -> jnp.ndarray:
     return space_to_depth_hw(jnp.pad(x, pads))
 
 
+def offset_to_unpacked_hw(xp: jnp.ndarray) -> jnp.ndarray:
+    """Offset-packed (..., h+1, w+1, 4C) -> unpacked (..., 2h, 2w, C):
+    depth_to_space then strip the one-pixel rim the offset grid carries."""
+    y = depth_to_space_hw(xp)
+    return y[..., 1:-1, 1:-1, :]
+
+
 def aligned_to_offset_hw(xp: jnp.ndarray) -> jnp.ndarray:
-    """Aligned-packed (..., h, w, 4C) -> offset-packed (..., h+1, w+1, 4C)."""
-    return offset_pack_hw(depth_to_space_hw(xp))
+    """Aligned-packed (..., h, w, 4C) -> offset-packed (..., h+1, w+1, 4C).
+
+    Pure packed-space shuffle (no unpack round-trip): offset group (dy',dx')
+    at cell (i,j) is pixel (2i-1+dy', 2j-1+dx'), i.e. aligned group
+    (1-dy', 1-dx') shifted by (1-dy', 1-dx') cells. One fused pad+concat
+    pass instead of three full-tensor relayouts."""
+    *lead, h, w, c4 = xp.shape
+    c = c4 // 4
+    nlead = len(lead)
+
+    def grp(k):
+        return xp[..., k * c:(k + 1) * c]
+
+    def sh(x, di, dj):
+        pads = [(0, 0)] * nlead + [(di, 1 - di), (dj, 1 - dj), (0, 0)]
+        return jnp.pad(x, pads)
+
+    # offset group order (0,0),(0,1),(1,0),(1,1) <- aligned groups 3,2,1,0
+    return jnp.concatenate([sh(grp(3), 1, 1), sh(grp(2), 1, 0),
+                            sh(grp(1), 0, 1), sh(grp(0), 0, 0)], axis=-1)
 
 
 # ------------------------------------------------------------ weight packs
@@ -86,42 +111,128 @@ def _iter_pack(ci_splits):
 
 
 def pack_conv_weights(w: jnp.ndarray, in_splits=None,
-                      packed_out: bool = True) -> jnp.ndarray:
+                      packed_out: bool = True,
+                      aligned_in_strided: bool = False) -> jnp.ndarray:
     """(kd, 3, 3, Ci, Co) -> (kd, 2, 2, 4Ci, 4Co if packed_out else Co).
 
     in_splits: channel sizes of concatenated packed inputs ([Ca, Cb] for a
     decoder concat) — the packed input layout is then
     [pack(Ca) || pack(Cb)], matching jnp.concatenate of packed tensors.
-    packed_out=False builds the strided-conv variant (output dy=dx=0 only).
+    packed_out=False builds the strided-conv variant (output dy=dx=0 only);
+    aligned_in_strided selects the tap map for an ALIGNED-parity input
+    (u = 2s - 2 + dy' instead of 2s - 1 + dy').
+
+    The SAME packed_out weights serve both offset->aligned (VALID conv) and
+    aligned->offset (pad (1,1) conv): the tap map u = 2s - 1 + dy' - dy is
+    identical for both parity transitions — which is what lets the forward
+    alternate layouts with zero repacking between consecutive convs.
+
+    Built from pads + reshapes only (a handful of XLA ops — this runs
+    inside the jitted forward on traced params, so it must not unroll into
+    hundreds of scatters): for output group (dy, dx), zero-pad the 3x3
+    kernel to 4x4 with offsets (dy, dx); index k = 2s + dy' then reads
+    W[k - dy] = W[u + 1].
     """
     kd, kh, kw, ci, co = w.shape
     assert kh == 3 and kw == 3, (kh, kw)
     in_splits = list(in_splits) if in_splits is not None else [ci]
     assert sum(in_splits) == ci
-    n_out = 4 * co if packed_out else co
-    out = jnp.zeros((kd, 2, 2, 4 * ci, n_out), w.dtype)
+    if packed_out:
+        out_groups = ((0, 0), (0, 1), (1, 0), (1, 1))
+    elif aligned_in_strided:
+        out_groups = ((1, 1),)   # u = 2s - 2 + dy'  ==  the (dy=1) pad map
+    else:
+        out_groups = ((0, 0),)
 
-    ci_off = 0       # offset into the original (unpacked) channel axis
-    pk_off = 0       # offset into the packed channel axis
+    row_blocks = []
+    ci_off = 0
     for cs in in_splits:
-        wblk = w[:, :, :, ci_off:ci_off + cs]
-        for s in (0, 1):
-            for t in (0, 1):
-                for dyp in (0, 1):
-                    for dxp in (0, 1):
-                        for dy, dx in (((0, 0),) if not packed_out else
-                                       ((0, 0), (0, 1), (1, 0), (1, 1))):
-                            u = 2 * s - 1 + dyp - dy
-                            v = 2 * t - 1 + dxp - dx
-                            if not (-1 <= u <= 1 and -1 <= v <= 1):
-                                continue
-                            r0 = pk_off + (dyp * 2 + dxp) * cs
-                            c0 = (dy * 2 + dx) * co if packed_out else 0
-                            out = out.at[:, s, t, r0:r0 + cs,
-                                         c0:c0 + co].set(wblk[:, u + 1, v + 1])
+        wblk = w[:, :, :, ci_off:ci_off + cs]        # (kd, 3, 3, cs, co)
+        cols = []
+        for dy, dx in out_groups:
+            t = jnp.pad(wblk, ((0, 0), (dy, 1 - dy), (dx, 1 - dx),
+                               (0, 0), (0, 0)))       # (kd, 4, 4, cs, co)
+            t = t.reshape(kd, 2, 2, 2, 2, cs, co)     # (kd,s,dy',t,dx',cs,co)
+            t = t.transpose(0, 1, 3, 2, 4, 5, 6)      # (kd,s,t,dy',dx',cs,co)
+            cols.append(t.reshape(kd, 2, 2, 4 * cs, co))
+        row_blocks.append(jnp.concatenate(cols, axis=-1)
+                          if len(cols) > 1 else cols[0])
         ci_off += cs
-        pk_off += 4 * cs
-    return out
+    return (jnp.concatenate(row_blocks, axis=3)
+            if len(row_blocks) > 1 else row_blocks[0])
+
+
+def pack_conv_weights_from_unpacked(w: jnp.ndarray) -> jnp.ndarray:
+    """(kd, 3, 3, Ci, Co) -> (kd, 4, 4, Ci, 4Co): weights for a conv that
+    consumes an UNPACKED tensor and emits a PACKED one in a single pass —
+    the layout change rides the conv's own im2col instead of a standalone
+    (bandwidth-bound, 24-38 ms) repack pass.
+
+    A stride-1 SAME 3x3 conv with packed 2x2 output == a (4,4) stride-(2,2)
+    conv: output cell (i,j) group (dy,dx) is output pixel (2i+dy, 2j+dx),
+    whose taps span input rows 2i-1..2i+2 — a 4-row window. Tap map:
+    W4[r] = W[r - dy] (zero outside 0..2). The SAME weights serve aligned
+    output (conv pad (1,1)) and offset output (pad (2,1))."""
+    kd, kh, kw, ci, co = w.shape
+    assert kh == 3 and kw == 3
+    cols = [jnp.pad(w, ((0, 0), (dy, 1 - dy), (dx, 1 - dx), (0, 0), (0, 0)))
+            for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1))]
+    return jnp.concatenate(cols, axis=-1)
+
+
+def conv_packing(x: jnp.ndarray, w4: jnp.ndarray, b, *,
+                 offset_out: bool = False) -> jnp.ndarray:
+    """Unpacked (B, D, H, W, Ci) -> packed (B, D, H/2[+1], W/2[+1], 4Co)
+    via the (kd, 4, 4) stride-(2,2) kernel from
+    pack_conv_weights_from_unpacked. kd==1 folds D into the batch."""
+    kd = w4.shape[0]
+    # offset output has H/2+1 cells (rows -1..H): window of cell 0 starts at
+    # pixel -2 and of cell H/2 ends at pixel H+1 -> pad (2, 2)
+    hw = ((2, 2), (2, 2)) if offset_out else ((1, 1), (1, 1))
+    if kd == 1:
+        bsz, d, h, w_, c = x.shape
+        y = jax.lax.conv_general_dilated(
+            x.reshape(bsz * d, h, w_, c), w4[0], window_strides=(2, 2),
+            padding=hw, dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=x.dtype)
+        y = y.reshape(bsz, d, *y.shape[1:])
+    else:
+        y = jax.lax.conv_general_dilated(
+            x, w4, window_strides=(1, 2, 2),
+            padding=((kd // 2, kd // 2),) + hw,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            preferred_element_type=x.dtype)
+    if b is not None:
+        y = y + b
+    return y
+
+
+def pack_pointwise_weights(w: jnp.ndarray) -> jnp.ndarray:
+    """1x1 conv weights (Ci, Co) -> packed pointwise (4Ci, 4Co): the same
+    per-pixel matmul applied within each (dy, dx) group (block-diagonal)."""
+    return jnp.kron(jnp.eye(4, dtype=w.dtype), w)
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=32)
+def _offset_rim_mask_np(hp: int, wp: int, c: int):
+    m = np.ones((hp, wp, 4, 1), np.float32)
+    m[0, :, 0:2] = 0    # dy'=0 at cell 0 -> pixel row -1
+    m[-1, :, 2:4] = 0   # dy'=1 at last cell -> pixel row 2h
+    m[:, 0, 0::2] = 0   # dx'=0 at cell 0
+    m[:, -1, 1::2] = 0  # dx'=1 at last cell
+    return np.broadcast_to(m, (hp, wp, 4, c)).reshape(hp, wp, 4 * c)
+
+
+def offset_rim_mask(hp: int, wp: int, c: int, dtype) -> jnp.ndarray:
+    """(hp, wp, 4c) 0/1 mask zeroing an offset-packed tensor's rim slots
+    (the pixel positions outside the image that the offset grid carries).
+    Convs that EMIT offset parity write garbage there (they evaluate the
+    kernel one pixel beyond the image); downstream VALID convs require
+    exact zeros. Multiply after the conv and again after the activation."""
+    return jnp.asarray(_offset_rim_mask_np(hp, wp, c), dtype)
 
 
 def pack_transpconv_weights(wt: jnp.ndarray) -> jnp.ndarray:
@@ -141,25 +252,34 @@ def pack_transpconv_weights(wt: jnp.ndarray) -> jnp.ndarray:
 
 # ------------------------------------------------------------ packed ops
 
+_HW_PADS = {
+    "valid": ((0, 0), (0, 0)),   # offset in  -> aligned / strided out
+    "pad11": ((1, 1), (1, 1)),   # aligned in -> offset out
+    "pad10": ((1, 0), (1, 0)),   # aligned in -> strided (unpacked) out
+}
+
+
 def conv_packed(xp: jnp.ndarray, wp: jnp.ndarray, b, *,
-                d_stride: int = 1) -> jnp.ndarray:
-    """VALID packed conv. xp: (B, D, h+1, w+1, 4Ci) offset-packed;
+                d_stride: int = 1, hw_pad: str = "valid") -> jnp.ndarray:
+    """Packed 2x2-cell conv. xp: (B, D, h', w', 4Ci) packed (offset parity
+    for 'valid', aligned parity for 'pad11'/'pad10');
     wp: (kd, 2, 2, 4Ci, Cout'). kd==1 folds D into the batch (2D conv, the
     fast emitter path); kd==3 stays a 5D conv with SAME padding along D.
     Bias b is in the OUTPUT layout (packed or not) or None."""
     kd = wp.shape[0]
+    hw = _HW_PADS[hw_pad]
     if kd == 1:
         bsz, d, hp, wp_, c = xp.shape
         y = jax.lax.conv_general_dilated(
             xp.reshape(bsz * d, hp, wp_, c), wp[0],
-            window_strides=(1, 1), padding="VALID",
+            window_strides=(1, 1), padding=hw,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=xp.dtype)
         y = y.reshape(bsz, d, *y.shape[1:])
     else:
         y = jax.lax.conv_general_dilated(
             xp, wp, window_strides=(d_stride, 1, 1),
-            padding=((kd // 2, kd // 2), (0, 0), (0, 0)),
+            padding=((kd // 2, kd // 2),) + hw,
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
             preferred_element_type=xp.dtype)
     if b is not None:
@@ -192,19 +312,43 @@ def pack_bias(b: jnp.ndarray) -> jnp.ndarray:
 
 
 def instance_norm_packed(xp: jnp.ndarray, scale, bias,
-                         epsilon: float = 1e-5) -> jnp.ndarray:
-    """InstanceNorm over true spatial extent on an aligned-packed tensor.
+                         epsilon: float = 1e-5,
+                         offset_parity: bool = False) -> jnp.ndarray:
+    """InstanceNorm over true spatial extent on a packed tensor.
 
     xp: (B, D, h, w, 4C); scale/bias: (C,) affine params or None. The four
     (dy, dx) groups of one channel are the same channel, so the exact
-    per-channel moments are the group-averaged E[x], E[x^2]."""
+    per-channel moments are the group-averaged moments. Only small (B, 4C)
+    tensors are ever reshaped — the big activation sees nothing but
+    broadcast elementwise ops and plain reductions, so no lane-layout
+    churn. Statistics accumulate in fp32.
+
+    offset_parity: the tensor is offset-packed with its rim already masked
+    to zero — each group then holds (h-1)*(w-1) real pixels, so moments use
+    the corrected count (var via E[x^2]-E[x]^2, one pass; the centered
+    two-pass form would need a second rim mask).
+    """
     b_, d, h, w, c4 = xp.shape
     c = c4 // 4
-    xg = xp.reshape(b_, d, h, w, 4, c)
-    # same dtype/formula as models.layers.InstanceNorm for exact parity
-    m1 = jnp.mean(xg, axis=(1, 2, 3, 4), keepdims=True)
-    var = jnp.var(xg, axis=(1, 2, 3, 4), keepdims=True)
-    y = (xg - m1) * jax.lax.rsqrt(var + epsilon)
+
+    def group_mean(t):  # (B, 4C) -> (B, 4C) group-averaged, tiled back
+        return jnp.tile(jnp.mean(t.reshape(b_, 4, c), axis=1), (1, 4))
+
+    if offset_parity:
+        n = d * (h - 1) * (w - 1)
+        x32 = xp.astype(jnp.float32)
+        m1 = group_mean(jnp.sum(x32, axis=(1, 2, 3)) / n)
+        m2 = group_mean(jnp.sum(jnp.square(x32), axis=(1, 2, 3)) / n)
+        v = m2 - jnp.square(m1)
+    else:
+        m1 = group_mean(jnp.mean(xp.astype(jnp.float32), axis=(1, 2, 3)))
+        vg = jnp.mean(jnp.square(xp.astype(jnp.float32)
+                                 - m1[:, None, None, None, :]),
+                      axis=(1, 2, 3))
+        v = group_mean(vg)
+    k = jax.lax.rsqrt(v + epsilon)
+    y = (xp - m1[:, None, None, None, :].astype(xp.dtype)) \
+        * k[:, None, None, None, :].astype(xp.dtype)
     if scale is not None:
-        y = y * scale + bias
-    return y.reshape(b_, d, h, w, c4)
+        y = y * jnp.tile(scale, 4) + jnp.tile(bias, 4)
+    return y

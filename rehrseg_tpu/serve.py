@@ -41,6 +41,7 @@ class Segmenter:
     slice_separation: int = 4
     mirror: bool = True
     tile_step_size: float = 0.5
+    packed_eval: bool = True
     compute_dtype = jnp.bfloat16
 
     def __post_init__(self):
@@ -48,11 +49,29 @@ class Segmenter:
             lambda a: jnp.asarray(a, dtype=self.compute_dtype), self.params)
         model = self.model
 
-        def lr_fn(p, batch):
-            return model.apply(p, batch.astype(self.compute_dtype))[0]
+        if self.packed_eval:
+            # space-to-depth packed forward: mathematically identical,
+            # measured 1.5-1.6x on chip (models/segnet_packed.py); falls
+            # back per-stage on odd spatial dims so it is always safe
+            from .models.segnet_packed import segmodel_apply_packed
+            arch = dict(model.arch)
 
-        def dual_fn(p, batch):
-            return model.apply(p, batch.astype(self.compute_dtype))
+            def lr_fn(p, batch):
+                return segmodel_apply_packed(
+                    arch, p, batch.astype(self.compute_dtype),
+                    pack_max_channels=64)
+
+            def dual_fn(p, batch):
+                return segmodel_apply_packed(
+                    arch, p, batch.astype(self.compute_dtype),
+                    pack_max_channels=64, dual=True,
+                    upscale=model.upscale)
+        else:
+            def lr_fn(p, batch):
+                return model.apply(p, batch.astype(self.compute_dtype))[0]
+
+            def dual_fn(p, batch):
+                return model.apply(p, batch.astype(self.compute_dtype))
 
         self._lr_fn = lr_fn
         self._dual_fn = dual_fn

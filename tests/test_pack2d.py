@@ -129,3 +129,99 @@ def test_packed_bias(rng):
                                         pack_conv_weights(w), pack_bias(b)))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_aligned_to_offset_direct_equals_roundtrip(rng):
+    from rehrseg_tpu.ops.pack2d import offset_to_unpacked_hw
+    x = jnp.asarray(rng.normal(size=(2, 3, 8, 10, 4)).astype(np.float32))
+    xp = space_to_depth_hw(x)
+    direct = aligned_to_offset_hw(xp)
+    roundtrip = offset_pack_hw(depth_to_space_hw(xp))
+    np.testing.assert_array_equal(np.asarray(direct), np.asarray(roundtrip))
+    # offset -> unpacked strips the rim exactly
+    np.testing.assert_array_equal(np.asarray(offset_to_unpacked_hw(direct)),
+                                  np.asarray(x))
+
+
+@pytest.mark.parametrize("kd", [1, 3])
+def test_packed_conv_aligned_to_offset_parity(rng, kd):
+    """aligned->offset conv (pad11) uses the SAME packed weights as
+    offset->aligned (valid) — the zero-repack alternating-parity identity."""
+    from rehrseg_tpu.ops.pack2d import offset_to_unpacked_hw
+    x = jnp.asarray(rng.normal(size=(2, 4, 8, 12, 3)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(kd, 3, 3, 3, 5)).astype(np.float32))
+    ref = _conv_ref(x, w)
+    wp = pack_conv_weights(w)
+    y_off = conv_packed(space_to_depth_hw(x), wp, None, hw_pad="pad11")
+    assert y_off.shape[2] == 5 and y_off.shape[3] == 7
+    got = offset_to_unpacked_hw(y_off)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("kd,ds", [(3, 1), (3, 2), (1, 1)])
+def test_packed_conv_strided_from_aligned(rng, kd, ds):
+    """strided conv consuming ALIGNED input (pad10 + shifted tap map)."""
+    x = jnp.asarray(rng.normal(size=(2, 4, 8, 12, 3)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(kd, 3, 3, 3, 5)).astype(np.float32))
+    ref = _conv_ref(x, w, strides=(ds, 2, 2))
+    wp = pack_conv_weights(w, packed_out=False, aligned_in_strided=True)
+    got = conv_packed(space_to_depth_hw(x), wp, None, d_stride=ds,
+                      hw_pad="pad10")
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("kd", [1, 3])
+@pytest.mark.parametrize("offset_out", [False, True])
+def test_conv_packing_from_unpacked(rng, kd, offset_out):
+    """(4,4) stride-2 conv == stride-1 SAME conv with packed output (the
+    zero-layout-op unpacked->packed transition)."""
+    from rehrseg_tpu.ops.pack2d import (pack_conv_weights_from_unpacked,
+                                        conv_packing, offset_to_unpacked_hw)
+    x = jnp.asarray(rng.normal(size=(2, 4, 8, 12, 3)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(kd, 3, 3, 3, 5)).astype(np.float32))
+    ref = _conv_ref(x, w)
+    w4 = pack_conv_weights_from_unpacked(w)
+    y = conv_packing(x, w4, None, offset_out=offset_out)
+    if offset_out:
+        assert y.shape[2:4] == (5, 7)
+        got = offset_to_unpacked_hw(y)
+    else:
+        assert y.shape[2:4] == (4, 6)
+        got = depth_to_space_hw(y)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_offset_rim_mask_and_norm_parity(rng):
+    """Masked offset tensor + corrected-count norm == aligned-path norm."""
+    from rehrseg_tpu.ops.pack2d import offset_rim_mask
+    from rehrseg_tpu.models.layers import InstanceNorm
+
+    x = jnp.asarray(rng.normal(size=(2, 3, 8, 12, 4)).astype(np.float32) * 2)
+    norm = InstanceNorm(epsilon=1e-5, use_affine=True)
+    scale = jnp.asarray(rng.normal(size=(4,)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(4,)).astype(np.float32))
+    ref = norm.apply({"params": {"scale": scale, "bias": bias}}, x)
+
+    xo = offset_pack_hw(x)  # rim is exactly zero by construction here
+    m = offset_rim_mask(xo.shape[2], xo.shape[3], 4, xo.dtype)
+    got_o = instance_norm_packed(xo * m, scale, bias, 1e-5,
+                                 offset_parity=True) * m
+    from rehrseg_tpu.ops.pack2d import offset_to_unpacked_hw
+    np.testing.assert_allclose(np.asarray(offset_to_unpacked_hw(got_o)),
+                               np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_pack_pointwise_weights(rng):
+    from rehrseg_tpu.ops.pack2d import pack_pointwise_weights
+    x = jnp.asarray(rng.normal(size=(1, 2, 6, 8, 3)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 5)).astype(np.float32))
+    ref = jnp.einsum("bdhwc,ce->bdhwe", x, w)
+    xp = space_to_depth_hw(x)
+    got = depth_to_space_hw(
+        jnp.einsum("bdhwc,ce->bdhwe", xp, pack_pointwise_weights(w)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)

@@ -81,3 +81,27 @@ def test_packed_odd_spatial_falls_back(rng):
                                    pack_max_channels=64)
     np.testing.assert_allclose(np.asarray(got_lr), np.asarray(ref_lr),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_packed_engine_labels_match_unpacked(rng):
+    """Through the full sliding-window engine (gaussian + mirror TTA +
+    argmax), packed and unpacked forwards produce identical label maps."""
+    from rehrseg_tpu.infer.sliding_window import predict_sliding_window_labels
+
+    model = SegModel(num_classes=2, upscale=4, arch=dict(ARCH_SMALL))
+    x0 = jnp.zeros((1, 8, 32, 32, 1))
+    params = model.init(jax.random.key(0), x0)
+    vol = rng.normal(size=(10, 40, 48, 1)).astype(np.float32)
+
+    def lr_std(p, b):
+        return model.apply(p, b)[0]
+
+    def lr_packed(p, b):
+        return segmodel_apply_packed(ARCH_SMALL, p, b, pack_max_channels=64)
+
+    std = predict_sliding_window_labels(lr_std, params, vol, (8, 32, 32),
+                                        mirror=True, input_dtype=jnp.float32)
+    packed = predict_sliding_window_labels(lr_packed, params, vol,
+                                           (8, 32, 32), mirror=True,
+                                           input_dtype=jnp.float32)
+    assert np.array_equal(std, packed)

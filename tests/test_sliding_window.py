@@ -173,3 +173,25 @@ def test_streamed_matches_single_pass(rng):
             lr_fn, params, vol, (4, 16, 16), z_slab_tiles=z_slab,
             mirror=False, input_dtype=jnp.float32)
         assert np.array_equal(single, streamed), z_slab
+
+
+def test_tiles_per_step_equivalence(rng):
+    """k-tile batched scan == single-tile scan exactly (incl. the repeated-
+    last-tile padding when the tile count doesn't divide)."""
+    import jax.numpy as jnp
+    from rehrseg_tpu.models import SegModel
+    from rehrseg_tpu.infer.sliding_window import predict_sliding_window_labels
+    from tests.test_models import SMALL_ARCH
+
+    model = SegModel(num_classes=2, upscale=4, arch=SMALL_ARCH)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 4, 16, 16, 1)))
+
+    def lr_fn(p, b):
+        return model.apply(p, b)[0]
+
+    vol = rng.normal(size=(6, 24, 40, 1)).astype(np.float32)
+    outs = [predict_sliding_window_labels(
+        lr_fn, params, vol, (4, 16, 16), mirror=True,
+        input_dtype=jnp.float32, tiles_per_step=k) for k in (1, 2, 3)]
+    assert np.array_equal(outs[0], outs[1])
+    assert np.array_equal(outs[0], outs[2])
