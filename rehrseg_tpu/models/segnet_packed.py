@@ -271,10 +271,25 @@ def segmodel_apply_packed(arch: dict, params, x, *, num_classes: int = 2,
 
     from ..ops.bspline import upsample_axis_linear
 
-    features = _unpack(features, features_layout)
-    up = upsample_axis_linear(features, upscale, axis=1, align_corners=True)
     w1, b1 = p["sr_head_conv1"]["kernel"], p["sr_head_conv1"]["bias"]
-    h1 = jax.nn.relu(_conv_std(up, w1, b1, (1, 1, 1)))
     w2, b2 = p["sr_head_conv2"]["kernel"], p["sr_head_conv2"]["bias"]
-    hr = _conv_std(h1, w2, b2, (1, 1, 1))
+    if features_layout == "a":
+        # SR head fully packed: it runs at upscale*D FULL resolution with
+        # C=16/32 — unpacked, its activations are mostly lane padding (the
+        # round-1 OOM). D-upsampling commutes with in-plane packing.
+        up = upsample_axis_linear(features, upscale, axis=1,
+                                  align_corners=True)
+        wp1 = pack_conv_weights(w1)
+        h1 = conv_packed(up, wp1, pack_bias(b1), hw_pad="pad11")  # a -> o
+        c1 = w1.shape[-1]
+        h1 = _mask_offset(jax.nn.relu(h1), c1)
+        wp2 = pack_conv_weights(w2)          # 5x5 -> (4,4) cells, o -> a
+        hr_p = conv_packed(h1, wp2, pack_bias(b2))
+        hr = depth_to_space_hw(hr_p)
+    else:
+        features = _unpack(features, features_layout)
+        up = upsample_axis_linear(features, upscale, axis=1,
+                                  align_corners=True)
+        h1 = jax.nn.relu(_conv_std(up, w1, b1, (1, 1, 1)))
+        hr = _conv_std(h1, w2, b2, (1, 1, 1))
     return seg_logits, hr

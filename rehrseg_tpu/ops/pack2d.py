@@ -134,27 +134,37 @@ def pack_conv_weights(w: jnp.ndarray, in_splits=None,
     W[k - dy] = W[u + 1].
     """
     kd, kh, kw, ci, co = w.shape
-    assert kh == 3 and kw == 3, (kh, kw)
+    assert kh == kw and kh in (3, 5), (kh, kw)
     in_splits = list(in_splits) if in_splits is not None else [ci]
     assert sum(in_splits) == ci
     if packed_out:
         out_groups = ((0, 0), (0, 1), (1, 0), (1, 1))
     elif aligned_in_strided:
+        assert kh == 3
         out_groups = ((1, 1),)   # u = 2s - 2 + dy'  ==  the (dy=1) pad map
     else:
+        assert kh == 3
         out_groups = ((0, 0),)
+
+    # cell-kernel size S and base pad for T[k] = W[k - base - dy],
+    # k = 2s + dy': K=3 -> S=2, base 0 (VALID conv); K=5 -> S=4, base 1
+    # (conv pad (1,1) over offset cells)
+    S = 2 if kh == 3 else 4
+    base = (2 * S - kh - 1) // 2
 
     row_blocks = []
     ci_off = 0
     for cs in in_splits:
-        wblk = w[:, :, :, ci_off:ci_off + cs]        # (kd, 3, 3, cs, co)
+        wblk = w[:, :, :, ci_off:ci_off + cs]        # (kd, K, K, cs, co)
         cols = []
         for dy, dx in out_groups:
-            t = jnp.pad(wblk, ((0, 0), (dy, 1 - dy), (dx, 1 - dx),
-                               (0, 0), (0, 0)))       # (kd, 4, 4, cs, co)
-            t = t.reshape(kd, 2, 2, 2, 2, cs, co)     # (kd,s,dy',t,dx',cs,co)
+            t = jnp.pad(wblk, ((0, 0),
+                               (base + dy, 2 * S - kh - base - dy),
+                               (base + dx, 2 * S - kh - base - dx),
+                               (0, 0), (0, 0)))       # (kd, 2S, 2S, cs, co)
+            t = t.reshape(kd, S, 2, S, 2, cs, co)     # (kd,s,dy',t,dx',cs,co)
             t = t.transpose(0, 1, 3, 2, 4, 5, 6)      # (kd,s,t,dy',dx',cs,co)
-            cols.append(t.reshape(kd, 2, 2, 4 * cs, co))
+            cols.append(t.reshape(kd, S, S, 4 * cs, co))
         row_blocks.append(jnp.concatenate(cols, axis=-1)
                           if len(cols) > 1 else cols[0])
         ci_off += cs
@@ -268,6 +278,10 @@ def conv_packed(xp: jnp.ndarray, wp: jnp.ndarray, b, *,
     Bias b is in the OUTPUT layout (packed or not) or None."""
     kd = wp.shape[0]
     hw = _HW_PADS[hw_pad]
+    if hw_pad == "valid" and wp.shape[1] == 4:
+        # 5x5 original kernel -> (4,4) cell kernel: offset-in aligned-out
+        # needs one extra cell of reach on each side
+        hw = ((1, 1), (1, 1))
     if kd == 1:
         bsz, d, hp, wp_, c = xp.shape
         y = jax.lax.conv_general_dilated(

@@ -182,14 +182,19 @@ def seg_model_fns(seg_model, packed: bool = True):
 
 def evaluate(seg_model, seg_params, patch_size, val_img_path, val_label_path,
              split, slice_separation, save_path=None, eval_hr=False,
-             mirror=True):
-    """Fold evaluation (train_all.py:154-193): per-subject + global dice."""
+             mirror=True, bad_cases=()):
+    """Fold evaluation (train_all.py:154-193): per-subject + global dice.
+
+    bad_cases: subjects to skip (the reference keeps an inline empty list,
+    train_all.py:155,162)."""
     all_dice, all_pred, all_label = [], [], []
 
     lr_fn, dual_fn_full = seg_model_fns(seg_model)
     dual_fn = dual_fn_full if eval_hr else None
 
     for subject in split:
+        if subject in bad_cases:
+            continue
         img_path = os.path.join(val_img_path, subject + "_0000.nii.gz")
         lab_path = os.path.join(val_label_path, subject + ".nii.gz")
         vol = nifti.read_image_itk(img_path).array  # (z, y, x)

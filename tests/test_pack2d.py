@@ -225,3 +225,19 @@ def test_pack_pointwise_weights(rng):
         jnp.einsum("bdhwc,ce->bdhwe", xp, pack_pointwise_weights(w)))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_packed_conv_5x5_offset_to_aligned(rng):
+    """5x5 conv == (4,4)-cell packed conv on offset input (the SR head's
+    sr_conv2)."""
+    x = jnp.asarray(rng.normal(size=(1, 3, 10, 14, 3)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(5, 5, 5, 3, 4)).astype(np.float32))
+    pad = tuple((k // 2, k // 2) for k in w.shape[:3])
+    ref = jax.lax.conv_general_dilated(
+        x, w, window_strides=(1, 1, 1), padding=pad,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    wp = pack_conv_weights(w)
+    assert wp.shape[:3] == (5, 4, 4)
+    got = depth_to_space_hw(conv_packed(offset_pack_hw(x), wp, None))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
