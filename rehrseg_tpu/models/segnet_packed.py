@@ -178,6 +178,14 @@ def segmodel_apply_packed(arch: dict, params, x, *, num_classes: int = 2,
     kernels = [_to3(k) for k in a["kernel_sizes"]]
     strides = [_to3(s) for s in a["strides"]]
     p = params["params"]
+    # flax promotes inputs/kernels to a common dtype; these functional convs
+    # require it explicitly (bf16 uploads meet fp32 training params when
+    # evaluate() runs mid-training)
+    leaf = jax.tree_util.tree_leaves(p)[0]
+    common = jnp.promote_types(x.dtype, leaf.dtype)
+    x = x.astype(common)
+    if leaf.dtype != common:
+        p = jax.tree.map(lambda t: t.astype(common), p)
     penc, pdec = p["encoder"], p["decoder"]
 
     # ---------------- encoder: each stage ends ALIGNED (or unpacked)

@@ -105,3 +105,17 @@ def test_packed_engine_labels_match_unpacked(rng):
                                            (8, 32, 32), mirror=True,
                                            input_dtype=jnp.float32)
     assert np.array_equal(std, packed)
+
+
+def test_packed_mixed_dtypes_promote_like_flax(rng):
+    """bf16 batch x fp32 params (evaluate() mid-training) must promote to
+    fp32 like flax instead of raising."""
+    model, params, x = _setup(ARCH_SMALL, rng)
+    out = segmodel_apply_packed(ARCH_SMALL, params,
+                                x.astype(jnp.bfloat16),
+                                pack_max_channels=64)
+    assert out.dtype == jnp.float32
+    ref, _ = model.apply(params, x.astype(jnp.bfloat16))
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=0.1, atol=0.15)
