@@ -37,6 +37,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from rehrseg_tpu.utils.compilation_cache import enable_compilation_cache
+
+enable_compilation_cache()
 
 # reference default patch is [14, 320, 384] (seg_utils.py:229); DEFAULT_ARCH
 # strides need D divisible by 8 and H/W by 32, so the benchmark uses the

@@ -18,6 +18,9 @@ def main():
     if fold is not None and fold != "all":
         fold = int(fold)
 
+    from .utils.compilation_cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from .pipeline import main as run_main
     run_main(args.config, fold=fold)
 

@@ -114,7 +114,7 @@ def _sliding_window_scan(model_fn: Callable, params, data: jnp.ndarray,
         only tile within a single GPU, seg_utils.py:229-287).
 
     Both can combine on a 2-D ('data', 'spatial') mesh. Results are
-    bit-identical to the single-device pass (tests/test_multichip.py).
+    bit-identical to the single-device pass (tests/test_tta_mesh.py).
 
     tiles_per_step: batch k tiles' mirror stacks into ONE forward of
     k*n_tta — bigger batches utilize the MXU better and amortize per-step

@@ -668,10 +668,16 @@ class Pipeline:
         best_dice = 0.0
         mlog = MetricsLogger(self.segsr_ckpt)
         timer = StepTimer()
+        profile_dir = (c.extra or {}).get("profile_dir")
         print(f"TRAINING NETWORK REHRSeg ({total_steps} steps)")
         guard = PreemptionGuard()
         with guard:
           for it in range(int(state.step), total_steps):
+            if profile_dir and it == int(state.step) + 5:
+                # steady-state capture: past compile + warmup
+                jax.profiler.start_trace(profile_dir)
+            if profile_dir and it == int(state.step) + 10:
+                jax.profiler.stop_trace()
             if guard.should_stop:
                 ckpt.save_checkpoint(self.segsr_ckpt, state)
                 loader.close()

@@ -160,3 +160,63 @@ def load_segmenter_from_checkpoint(ckpt_dir: str, arch: dict, patch_size,
         p = p["seg"]
     return Segmenter(model=model, params=p, patch_size=tuple(patch_size),
                      slice_separation=slice_separation, **kw)
+
+
+def main():
+    """CLI serving: ``python -m rehrseg_tpu.serve --ckpt ckpt/segsr
+    --config configs/brain.yaml IN.nii.gz OUT.nii.gz [--hr HR.nii.gz]``."""
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        description="REHRSeg-TPU volume segmentation serving")
+    parser.add_argument("inputs", nargs="+",
+                        help="input NIfTI(s); with --out-dir, many at once")
+    parser.add_argument("--ckpt", required=True,
+                        help="stage-2 checkpoint dir (orbax)")
+    parser.add_argument("--config", required=True,
+                        help="pipeline YAML (for arch/patch/separation)")
+    parser.add_argument("--step", default=None,
+                        help="checkpoint step number or 'best'")
+    parser.add_argument("--out", default=None, help="output path (1 input)")
+    parser.add_argument("--hr", default=None, help="HR output path")
+    parser.add_argument("--out-dir", default=None,
+                        help="output directory for many inputs")
+    parser.add_argument("--no-mirror", action="store_true",
+                        help="disable 8-way TTA")
+    args = parser.parse_args()
+
+    from .config import load_config
+    from .pipeline import Pipeline
+    from .utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    cfg = load_config(args.config)
+    pipe = Pipeline.__new__(Pipeline)
+    pipe.cfg = cfg
+    pipe.arch_override = (cfg.extra or {}).get("arch_override")
+    arch, patch_size_zyx, _, _ = Pipeline._seg_arch_and_patches(pipe)
+    step = args.step
+    if step is not None and step != "best":
+        step = int(step)
+    seg = load_segmenter_from_checkpoint(
+        args.ckpt, arch, patch_size=patch_size_zyx,
+        slice_separation=int(cfg.slice_separation), step=step,
+        mirror=not args.no_mirror)
+
+    if args.out_dir:
+        os.makedirs(args.out_dir, exist_ok=True)
+        for path in args.inputs:
+            base = os.path.basename(path).replace(".nii.gz", "_seg.nii.gz")
+            seg.segment_file(path, os.path.join(args.out_dir, base))
+            print(f"{path} -> {os.path.join(args.out_dir, base)}")
+    else:
+        assert len(args.inputs) == 1 and args.out, \
+            "single input needs --out (or use --out-dir)"
+        seg.segment_file(args.inputs[0], args.out, hr_out_path=args.hr)
+        print(f"{args.inputs[0]} -> {args.out}" +
+              (f" + {args.hr}" if args.hr else ""))
+
+
+if __name__ == "__main__":
+    main()
