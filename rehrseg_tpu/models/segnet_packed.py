@@ -168,10 +168,23 @@ def _conv_norm_act(x, layout, cp, kernel, stride, feats, a, *,
 
 def segmodel_apply_packed(arch: dict, params, x, *, num_classes: int = 2,
                           upscale: int = 4, pack_max_channels: int = 128,
-                          dual: bool = False):
+                          dual: bool = False, return_skips: bool = False,
+                          remat: bool = False):
     """Forward identical to SegModel.apply (models/segnet.py:176-186) with
-    packed high-res stages. Returns lr_logits, or (lr_logits, hr_logits)
-    when ``dual``."""
+    packed high-res stages. Returns lr_logits, (lr_logits, hr_logits) when
+    ``dual``, or (lr, hr, skips) when ``return_skips`` (the KD student
+    interface, seg_model.py:207-208; skips are unpacked — XLA dead-code-
+    eliminates the unpacking of any skip the caller ignores).
+
+    Differentiable end-to-end (weight packing is linear), so it serves the
+    training step as well as eval.
+
+    remat: wrap every encoder/decoder stage and the SR head in
+    jax.checkpoint — backward-pass activation storage drops to the stage
+    boundaries (the skips), which is what makes training at real
+    plans.json patch sizes fit in 16 GB HBM (measured: the un-remat
+    fwd+bwd at batch 2 x (16,256,320) wants 45.8 GB). Exact math —
+    rematerialization only recomputes."""
     a = dict(arch)
     n = a["n_stages"]
     feats = a["features_per_stage"]
@@ -188,23 +201,36 @@ def segmodel_apply_packed(arch: dict, params, x, *, num_classes: int = 2,
         p = jax.tree.map(lambda t: t.astype(common), p)
     penc, pdec = p["encoder"], p["decoder"]
 
+    maybe_ckpt = jax.checkpoint if remat else (lambda f: f)
+
     # ---------------- encoder: each stage ends ALIGNED (or unpacked)
     cur, layout = x, "u"
     skips = []  # (tensor, layout)
     for s in range(n):
-        sp = penc[f"stage_{s}"]
         n_convs = a["n_conv_per_stage"][s]
-        for i in range(n_convs):
-            st = strides[s] if i == 0 else (1, 1, 1)
-            remaining = n_convs - i
-            # pick parity so the chain lands on 'a' at the stage end
-            if layout == "u":
-                want = "o" if remaining >= 2 else "a"
-            else:
-                want = "a"
-            cur, layout = _conv_norm_act(
-                cur, layout, sp[f"conv_{i}"], kernels[s], st, feats[s], a,
-                pack_max_channels=pack_max_channels, want_out=want)
+        out_layout = layout
+
+        def enc_stage(cur_in, sp, *, _s=s, _n=n_convs, _in=layout):
+            # layout decisions are trace-time static (they derive from
+            # shapes); smuggle the final one out through the closure
+            nonlocal out_layout
+            lay = _in
+            y = cur_in
+            for i in range(_n):
+                st = strides[_s] if i == 0 else (1, 1, 1)
+                remaining = _n - i
+                if lay == "u":
+                    want = "o" if remaining >= 2 else "a"
+                else:
+                    want = "a"
+                y, lay = _conv_norm_act(
+                    y, lay, sp[f"conv_{i}"], kernels[_s], st, feats[_s], a,
+                    pack_max_channels=pack_max_channels, want_out=want)
+            out_layout = lay
+            return y
+
+        cur = maybe_ckpt(enc_stage)(cur, penc[f"stage_{s}"])
+        layout = out_layout
         skips.append((cur, layout))
 
     # ---------------- decoder
@@ -229,32 +255,46 @@ def segmodel_apply_packed(arch: dict, params, x, *, num_classes: int = 2,
         lres = _unpack(lres, lres_layout)
         lres_layout = "u"
 
-        sp = pdec[f"stage_{s}"]
-        if pack_here:
-            up = pointwise_packed_transpconv(
-                lres, pack_transpconv_weights(wt),
-                pack_bias(bt) if bt is not None else None)   # ALIGNED
-            skip_p = skip if skip_layout == "a" else space_to_depth_hw(skip)
-            cur = jnp.concatenate([up, skip_p], axis=-1)
-            layout = "a"
-            skip_ch = (skip.shape[-1] // 4 if skip_layout == "a"
-                       else skip.shape[-1])
-            splits = [out_ch, skip_ch]
-            n_convs = a["n_conv_per_stage_decoder"][s]
-            for i in range(n_convs):
-                cur, layout = _conv_norm_act(
-                    cur, layout, sp[f"conv_{i}"], kernels[ridx], (1, 1, 1),
-                    out_ch, a, pack_max_channels=pack_max_channels,
-                    in_splits=splits if i == 0 else None, want_out="a")
-        else:
-            up = _transpconv_std(lres, wt, bt, stride)
-            cur = jnp.concatenate([up, _unpack(skip, skip_layout)], axis=-1)
-            layout = "u"
-            for i in range(a["n_conv_per_stage_decoder"][s]):
-                cur, layout = _conv_norm_act(
-                    cur, layout, sp[f"conv_{i}"], kernels[ridx], (1, 1, 1),
-                    out_ch, a, pack_max_channels=pack_max_channels,
-                    want_out="a")
+        out_layout = "u"
+
+        def dec_stage(lres_in, skip_in, tp, sp, *, _s=s, _ridx=ridx,
+                      _pack=pack_here, _skip_layout=skip_layout,
+                      _out_ch=out_ch, _stride=stride):
+            nonlocal out_layout
+            wt_ = tp["kernel"]
+            bt_ = tp.get("bias")
+            if _pack:
+                up = pointwise_packed_transpconv(
+                    lres_in, pack_transpconv_weights(wt_),
+                    pack_bias(bt_) if bt_ is not None else None)  # ALIGNED
+                skip_p = (skip_in if _skip_layout == "a"
+                          else space_to_depth_hw(skip_in))
+                y = jnp.concatenate([up, skip_p], axis=-1)
+                lay = "a"
+                skip_ch = (skip_in.shape[-1] // 4 if _skip_layout == "a"
+                           else skip_in.shape[-1])
+                splits = [_out_ch, skip_ch]
+                for i in range(a["n_conv_per_stage_decoder"][_s]):
+                    y, lay = _conv_norm_act(
+                        y, lay, sp[f"conv_{i}"], kernels[_ridx], (1, 1, 1),
+                        _out_ch, a, pack_max_channels=pack_max_channels,
+                        in_splits=splits if i == 0 else None, want_out="a")
+            else:
+                up = _transpconv_std(lres_in, wt_, bt_, _stride)
+                y = jnp.concatenate([up, _unpack(skip_in, _skip_layout)],
+                                    axis=-1)
+                lay = "u"
+                for i in range(a["n_conv_per_stage_decoder"][_s]):
+                    y, lay = _conv_norm_act(
+                        y, lay, sp[f"conv_{i}"], kernels[_ridx], (1, 1, 1),
+                        _out_ch, a, pack_max_channels=pack_max_channels,
+                        want_out="a")
+            out_layout = lay
+            return y
+
+        cur = maybe_ckpt(dec_stage)(lres, skip, pdec[f"transpconv_{s}"],
+                                    pdec[f"stage_{s}"])
+        layout = out_layout
 
         if s == n - 2:
             wseg = pdec[f"seg_layer_{s}"]["kernel"]
@@ -274,30 +314,32 @@ def segmodel_apply_packed(arch: dict, params, x, *, num_classes: int = 2,
             features, features_layout = cur, layout
         lres, lres_layout = cur, layout
 
-    if not dual:
+    if not dual and not return_skips:
         return seg_logits
 
     from ..ops.bspline import upsample_axis_linear
 
     w1, b1 = p["sr_head_conv1"]["kernel"], p["sr_head_conv1"]["bias"]
     w2, b2 = p["sr_head_conv2"]["kernel"], p["sr_head_conv2"]["bias"]
-    if features_layout == "a":
-        # SR head fully packed: it runs at upscale*D FULL resolution with
-        # C=16/32 — unpacked, its activations are mostly lane padding (the
-        # round-1 OOM). D-upsampling commutes with in-plane packing.
-        up = upsample_axis_linear(features, upscale, axis=1,
-                                  align_corners=True)
-        wp1 = pack_conv_weights(w1)
-        h1 = conv_packed(up, wp1, pack_bias(b1), hw_pad="pad11")  # a -> o
-        c1 = w1.shape[-1]
-        h1 = _mask_offset(jax.nn.relu(h1), c1)
-        wp2 = pack_conv_weights(w2)          # 5x5 -> (4,4) cells, o -> a
-        hr_p = conv_packed(h1, wp2, pack_bias(b2))
-        hr = depth_to_space_hw(hr_p)
-    else:
-        features = _unpack(features, features_layout)
-        up = upsample_axis_linear(features, upscale, axis=1,
-                                  align_corners=True)
-        h1 = jax.nn.relu(_conv_std(up, w1, b1, (1, 1, 1)))
-        hr = _conv_std(h1, w2, b2, (1, 1, 1))
+    def sr_head(feats_in, w1_, b1_, w2_, b2_):
+        if features_layout == "a":
+            # SR head fully packed: it runs at upscale*D FULL resolution
+            # with C=16/32 — unpacked, its activations are mostly lane
+            # padding (the round-1 OOM). D-upsampling commutes with
+            # in-plane packing.
+            up = upsample_axis_linear(feats_in, upscale, axis=1,
+                                      align_corners=True)
+            wp1 = pack_conv_weights(w1_)
+            h1 = conv_packed(up, wp1, pack_bias(b1_), hw_pad="pad11")
+            h1 = _mask_offset(jax.nn.relu(h1), w1_.shape[-1])
+            wp2 = pack_conv_weights(w2_)     # 5x5 -> (4,4) cells, o -> a
+            return depth_to_space_hw(conv_packed(h1, wp2, pack_bias(b2_)))
+        f = _unpack(feats_in, features_layout)
+        up = upsample_axis_linear(f, upscale, axis=1, align_corners=True)
+        h1 = jax.nn.relu(_conv_std(up, w1_, b1_, (1, 1, 1)))
+        return _conv_std(h1, w2_, b2_, (1, 1, 1))
+
+    hr = maybe_ckpt(sr_head)(features, w1, b1, w2, b2)
+    if return_skips:
+        return seg_logits, hr, [_unpack(t, l) for t, l in skips]
     return seg_logits, hr

@@ -223,26 +223,24 @@ def pack_pointwise_weights(w: jnp.ndarray) -> jnp.ndarray:
     return jnp.kron(jnp.eye(4, dtype=w.dtype), w)
 
 
-from functools import lru_cache
-
-
-@lru_cache(maxsize=32)
-def _offset_rim_mask_np(hp: int, wp: int, c: int):
-    m = np.ones((hp, wp, 4, 1), np.float32)
-    m[0, :, 0:2] = 0    # dy'=0 at cell 0 -> pixel row -1
-    m[-1, :, 2:4] = 0   # dy'=1 at last cell -> pixel row 2h
-    m[:, 0, 0::2] = 0   # dx'=0 at cell 0
-    m[:, -1, 1::2] = 0  # dx'=1 at last cell
-    return np.broadcast_to(m, (hp, wp, 4, c)).reshape(hp, wp, 4 * c)
-
-
 def offset_rim_mask(hp: int, wp: int, c: int, dtype) -> jnp.ndarray:
     """(hp, wp, 4c) 0/1 mask zeroing an offset-packed tensor's rim slots
     (the pixel positions outside the image that the offset grid carries).
     Convs that EMIT offset parity write garbage there (they evaluate the
     kernel one pixel beyond the image); downstream VALID convs require
-    exact zeros. Multiply after the conv and again after the activation."""
-    return jnp.asarray(_offset_rim_mask_np(hp, wp, c), dtype)
+    exact zeros. Multiply after the conv and again after the activation.
+
+    Built from iotas, NOT a literal: a dense (hp, wp, 4c) constant embeds
+    multi-MB blobs into the program (a 21 MB MLIR at bench geometry that
+    crashed the remote compile helper); the computed form is a few ops and
+    CSEs across call sites."""
+    ih = jax.lax.broadcasted_iota(jnp.int32, (hp, wp, 4), 0)
+    iw = jax.lax.broadcasted_iota(jnp.int32, (hp, wp, 4), 1)
+    g = jax.lax.broadcasted_iota(jnp.int32, (hp, wp, 4), 2)
+    dy, dx = g // 2, g % 2
+    ok = (((ih > 0) | (dy == 1)) & ((ih < hp - 1) | (dy == 0))
+          & ((iw > 0) | (dx == 1)) & ((iw < wp - 1) | (dx == 0)))
+    return jnp.repeat(ok.astype(dtype), c, axis=-1)
 
 
 def pack_transpconv_weights(wt: jnp.ndarray) -> jnp.ndarray:

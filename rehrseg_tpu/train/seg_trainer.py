@@ -117,7 +117,9 @@ def make_seg_train_step(seg_model, tx: optax.GradientTransformation,
                         distiller=None,
                         deep_supervision: bool = False,
                         teacher_window_chunk: int | None = None,
-                        donate: bool = True) -> Callable:
+                        donate: bool = True,
+                        packed: bool = True,
+                        remat: bool = True) -> Callable:
     """Returns jitted step(state, flavr_params, batch) -> (state, metrics).
 
     `state.params` is {'seg': seg_params, 'distiller': distiller_params} when
@@ -126,16 +128,36 @@ def make_seg_train_step(seg_model, tx: optax.GradientTransformation,
     exponentially-weighted sum over decoder resolutions
     (seg_utils.py:363-371); the seg_model must be built with
     deep_supervision=True.
+
+    packed: run the forward (and therefore the backward) through the
+    space-to-depth packed layout (models/segnet_packed.py) — identical
+    math, measured materially faster on chip; automatically ignored when
+    deep_supervision is on (the packed forward has no DS heads) and
+    per-stage whenever patch dims are odd.
+    remat: checkpoint each UNet stage + the SR head (packed path only) —
+    REQUIRED to fit real plans.json patches in 16 GB HBM (the plain
+    fwd+bwd at batch 2 x (16,256,320) wants 45.8 GB).
     """
     from ..losses import deep_supervision_weights
 
     ds_scales = (ds_scales_from_arch(seg_model.arch)
                  if deep_supervision else None)
+    use_packed = bool(packed) and not deep_supervision
+    if use_packed:
+        from ..models.segnet_packed import segmodel_apply_packed
+        packed_arch = dict(seg_model.arch)
+        packed_upscale = seg_model.upscale
 
     def loss_fn(params, flavr_params, batch: SegBatch):
         seg_params = params["seg"] if enable_distillation else params
-        lr_logits, hr_logits, skips = seg_model.apply(
-            seg_params, batch.img, return_intermediate_feature=True)
+        if use_packed:
+            lr_logits, hr_logits, skips = segmodel_apply_packed(
+                packed_arch, seg_params, batch.img, dual=True,
+                upscale=packed_upscale, pack_max_channels=64,
+                return_skips=True, remat=remat)
+        else:
+            lr_logits, hr_logits, skips = seg_model.apply(
+                seg_params, batch.img, return_intermediate_feature=True)
 
         unc = batch.uncertainty_lr if enable_uncertainty else None
         weight_dice_lr = 0.0 if enable_uncertainty else 1.0
@@ -150,11 +172,22 @@ def make_seg_train_step(seg_model, tx: optax.GradientTransformation,
                 loss_lr = loss_lr + w * dc_and_weighted_ce(
                     lg, tgt, u, weight_ce=1.0, weight_dice=weight_dice_lr)
         else:
-            loss_lr = dc_and_weighted_ce(
-                lr_logits, batch.label_lr, unc,
-                weight_ce=1.0, weight_dice=weight_dice_lr)
-        loss_hr = dc_and_weighted_ce(hr_logits, batch.label_hr, None,
-                                     weight_ce=1.0, weight_dice=1.0)
+            # checkpoint the loss terms alongside the rematted forward:
+            # softmax/dice temporaries on the 4x-D HR grid are hundreds of
+            # MB each and don't need to survive to the backward pass
+            def _lr_loss(lg, tg, u):
+                return dc_and_weighted_ce(lg, tg, u, weight_ce=1.0,
+                                          weight_dice=weight_dice_lr)
+
+            _lr_loss = jax.checkpoint(_lr_loss) if use_packed else _lr_loss
+            loss_lr = _lr_loss(lr_logits, batch.label_lr, unc)
+
+        def _hr_loss(lg, tg):
+            return dc_and_weighted_ce(lg, tg, None, weight_ce=1.0,
+                                      weight_dice=1.0)
+
+        _hr_loss = jax.checkpoint(_hr_loss) if use_packed else _hr_loss
+        loss_hr = _hr_loss(hr_logits, batch.label_hr)
         loss = loss_lr + loss_hr
         metrics = {"loss_lr": loss_lr, "loss_hr": loss_hr}
 
