@@ -121,7 +121,15 @@ def _conv_norm_act(x, layout, cp, kernel, stride, feats, a, *,
     h, wd = _true_hw(x, layout)
     strided = stride[1] == 2 and stride[2] == 2
 
-    if _packable(kernel, h, wd, feats, pack_max_channels):
+    # a strided conv EMITS unpacked output either way, so whenever its
+    # input is already packed, consume it packed regardless of the channel
+    # threshold — the alternative is a standalone depth_to_space pass on
+    # the skip (0.5 GB at the s2 boundary of the bench geometry)
+    strided_packable = (strided and layout in ("a", "o")
+                        and kernel[1] == 3 and kernel[2] == 3)
+
+    if strided_packable or _packable(kernel, h, wd, feats,
+                                     pack_max_channels):
         if strided and layout != "u":
             if layout == "a":
                 wp = pack_conv_weights(w, in_splits=in_splits,

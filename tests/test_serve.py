@@ -59,3 +59,55 @@ def test_segment_file_roundtrip(tmp_path, rng):
     hr = nifti.read_image_itk(hr_path)
     assert hr.array.shape == (24, 24, 24)
     assert abs(hr.GetSpacing()[2] - 1.0) < 1e-6
+
+
+def test_serve_cli_end_to_end(tmp_path, rng, monkeypatch, capsys):
+    """python -m rehrseg_tpu.serve: checkpoint + config -> segmentation."""
+    import yaml
+    from rehrseg_tpu.train import TrainState, nesterov_sgd
+    from rehrseg_tpu.train import checkpoint as ckpt
+    from rehrseg_tpu.train.optim import poly_epoch_schedule
+    from rehrseg_tpu.serve import main as serve_main
+
+    model = SegModel(num_classes=2, upscale=4, arch=SMALL_ARCH)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 4, 16, 16, 1)))
+    state = TrainState.create(params,
+                              nesterov_sgd(poly_epoch_schedule(1e-3, 1, 1)))
+    ckpt_dir = str(tmp_path / "segsr")
+    ckpt.save_checkpoint(ckpt_dir, state, step=1)
+
+    arch_yaml = {k: (list(v) if isinstance(v, tuple) else v)
+                 for k, v in SMALL_ARCH.items()}
+    arch_yaml["kernel_sizes"] = [list(k) for k in SMALL_ARCH["kernel_sizes"]]
+    arch_yaml["strides"] = [list(s) for s in SMALL_ARCH["strides"]]
+    cfg = {"data_path": str(tmp_path), "tmp_path": str(tmp_path / "t"),
+           "checkpoint_path": str(tmp_path / "c"), "seg_path": "",
+           "smore_initialization": False, "batch_size_sr": 1,
+           "lr_sr": 1.0e-3, "n_patches": 1, "save_iters_sr": 1,
+           "num_slices": 4, "patch_size": 16, "slice_thickness": 4.0,
+           "target_thickness": 1.0, "blur_kernel": "rf-pulse-slr",
+           "random_flip": False, "nnunet_transform": False,
+           "enable_uncertainty": False, "batch_size_segsr": 1,
+           "lr_segsr": 1.0e-3, "epochs": 1, "save_iters_segsr": 10,
+           "enable_distillation": False, "lambda_l1": 0.0,
+           "lambda_cosine": 0.0, "lambda_structure": 0.0,
+           "arch_override": arch_yaml, "patch_size_zyx": [4, 16, 16]}
+    cfg_path = str(tmp_path / "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    vol = rng.normal(size=(20, 20, 5)).astype(np.float32)
+    in_path = str(tmp_path / "case_0000.nii.gz")
+    nifti.save(nifti.NiftiImage(data=vol,
+                                affine=np.diag([1.0, 1.0, 4.0, 1.0])),
+               in_path)
+    out_path = str(tmp_path / "case_seg.nii.gz")
+
+    monkeypatch.setattr("sys.argv",
+                        ["serve", in_path, "--ckpt", ckpt_dir,
+                         "--config", cfg_path, "--out", out_path,
+                         "--no-mirror"])
+    serve_main()
+    out = nifti.read_image_itk(out_path)
+    assert out.array.shape == (5, 20, 20)
+    assert set(np.unique(out.array)).issubset({0, 1})
