@@ -42,6 +42,9 @@ class Segmenter:
     mirror: bool = True
     tile_step_size: float = 0.5
     packed_eval: bool = True
+    # jax.sharding.Mesh: 'data' shards TTA, 'spatial' halo-shards tile H
+    # across chips (LR path; see infer.sliding_window)
+    mesh: object = None
     compute_dtype = jnp.bfloat16
 
     def __post_init__(self):
@@ -98,7 +101,7 @@ class Segmenter:
         pred = predict_sliding_window_labels(
             self._lr_fn, self.params, vol_p, self.patch_size,
             slice_separation=1, tile_step_size=self.tile_step_size,
-            mirror=self.mirror)
+            mirror=self.mirror, tta_mesh=self.mesh)
         return crop(pred, pads[:3])
 
     def segment_many(self, volumes_zyx):

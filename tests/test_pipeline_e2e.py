@@ -181,3 +181,34 @@ def test_fold_parallel_stage2_e2e(synthetic_dataset):
     assert not np.allclose(leaves0, leaves1)
     assert os.path.exists(os.path.join(pipe.segsr_ckpt + "_folds",
                                        "metrics.jsonl"))
+
+
+def test_sr_psnr_logged_with_hr_reference(synthetic_dataset, tmp_path):
+    """VERDICT round-1 item 9: when an HR ground-truth volume exists
+    (hr_reference_path), stage-1 inference logs its PSNR to metrics.jsonl."""
+    import json
+    from rehrseg_tpu.io import nifti as nif
+
+    cfg = _tiny_config(synthetic_dataset)
+    hr_dir = tmp_path / "hr_refs"
+    hr_dir.mkdir()
+    cfg.extra["hr_reference_path"] = str(hr_dir)
+    pipe = Pipeline(cfg)
+
+    # a fake SR output (z, y, x) and a matching HR reference on disk
+    rng = np.random.default_rng(0)
+    sr = rng.normal(size=(28, 24, 24)).astype(np.float32)
+    hr = sr + 0.1 * rng.normal(size=sr.shape).astype(np.float32)
+    nif.write_image_itk(
+        nif.ItkLikeImage(hr, (1.0, 1.0, 1.0), (0.0, 0.0, 0.0),
+                         (1, 0, 0, 0, 1, 0, 0, 0, 1)),
+        str(hr_dir / "sub1_0000.nii.gz"))
+
+    pipe._log_sr_psnr("sub1_0000.nii.gz", sr)
+    mpath = os.path.join(pipe.flavr_ckpt, "metrics.jsonl")
+    assert os.path.exists(mpath)
+    recs = [json.loads(l) for l in open(mpath)]
+    assert any("psnr" in r and np.isfinite(r["psnr"]) for r in recs)
+
+    # silently skips when no reference exists
+    pipe._log_sr_psnr("sub_missing.nii.gz", sr)

@@ -111,3 +111,27 @@ def test_serve_cli_end_to_end(tmp_path, rng, monkeypatch, capsys):
     out = nifti.read_image_itk(out_path)
     assert out.array.shape == (5, 20, 20)
     assert set(np.unique(out.array)).issubset({0, 1})
+
+
+def test_segmenter_with_mesh_matches_single_device(rng):
+    from rehrseg_tpu.parallel import make_mesh, replicate
+
+    mesh = make_mesh(8, spatial=2)
+    model = SegModel(num_classes=2, upscale=4, arch=SMALL_ARCH)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 4, 16, 16, 1)))
+    vol = rng.normal(size=(6, 24, 24)).astype(np.float32)
+
+    single = Segmenter(model=model, params=params, patch_size=(4, 16, 16),
+                       slice_separation=4, mirror=True).segment(vol)
+    sharded_seg = Segmenter(model=model,
+                            params=replicate(params, mesh),
+                            patch_size=(4, 16, 16), slice_separation=4,
+                            mirror=True, mesh=mesh)
+    with mesh:
+        sharded = sharded_seg.segment(vol)
+    # serving computes in bf16; spatial sharding reassociates the
+    # InstanceNorm reductions, so near-tie voxels may flip — bit-exactness
+    # in fp32 is pinned by tests/test_tta_mesh.py, here we bound the
+    # bf16 tie-flip rate
+    mismatch = np.mean(single != sharded)
+    assert mismatch < 0.02, mismatch
