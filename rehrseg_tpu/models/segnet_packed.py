@@ -35,8 +35,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..ops.pack2d import (
-    space_to_depth_hw, depth_to_space_hw, offset_pack_hw,
-    offset_to_unpacked_hw,
+    space_to_depth_hw, depth_to_space_hw, offset_to_unpacked_hw,
     pack_conv_weights, pack_conv_weights_from_unpacked,
     pack_transpconv_weights, pack_pointwise_weights, pack_bias,
     conv_packed, conv_packing, pointwise_packed_transpconv,

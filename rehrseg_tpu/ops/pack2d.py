@@ -103,13 +103,6 @@ def aligned_to_offset_hw(xp: jnp.ndarray) -> jnp.ndarray:
 
 # ------------------------------------------------------------ weight packs
 
-def _iter_pack(ci_splits):
-    """Offsets of each input split inside the packed channel axis."""
-    total = sum(ci_splits)
-    starts = np.cumsum([0] + list(ci_splits[:-1]))
-    return total, starts
-
-
 def pack_conv_weights(w: jnp.ndarray, in_splits=None,
                       packed_out: bool = True,
                       aligned_in_strided: bool = False) -> jnp.ndarray:

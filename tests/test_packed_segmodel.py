@@ -177,3 +177,20 @@ def test_packed_remat_exact(rng):
     v1 = np.concatenate([np.ravel(t) for t in jax.tree_util.tree_leaves(g1)])
     rel = np.linalg.norm(v0 - v1) / np.linalg.norm(v0)
     assert rel < 1e-3, rel
+
+
+def test_packed_three_convs_per_stage(rng):
+    """n_conv_per_stage=3 walks the full parity cycle u->o->a->o: stages
+    end OFFSET and every consumer (strided conv, decoder concat fallback,
+    seg head) must still be exact."""
+    arch = dict(ARCH_SMALL, n_conv_per_stage=(3, 3, 3, 3),
+                n_conv_per_stage_decoder=(3, 3, 3))
+    model, params, x = _setup(arch, rng, shape=(1, 8, 32, 48, 1))
+    ref_lr, ref_hr = model.apply(params, x)
+    got_lr, got_hr = segmodel_apply_packed(arch, params, x,
+                                           pack_max_channels=64, dual=True,
+                                           upscale=4)
+    np.testing.assert_allclose(np.asarray(got_lr), np.asarray(ref_lr),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_hr), np.asarray(ref_hr),
+                               rtol=2e-4, atol=2e-4)
