@@ -164,3 +164,22 @@ def test_augment_3d_image(rng):
     x = rng.normal(size=(2, 8, 8))
     out = augment_3d_image(x, rng)
     assert out.shape == x.shape
+
+
+def test_enable_compilation_cache(tmp_path, monkeypatch):
+    import jax
+    from rehrseg_tpu.utils.compilation_cache import enable_compilation_cache
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        d = enable_compilation_cache(str(tmp_path / "cc"))
+        assert d == str(tmp_path / "cc")
+        import os
+        assert os.path.isdir(d)
+        assert jax.config.jax_compilation_cache_dir == d
+        # env-var precedence when no explicit dir given
+        monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR",
+                           str(tmp_path / "env_cc"))
+        assert enable_compilation_cache() == str(tmp_path / "env_cc")
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
