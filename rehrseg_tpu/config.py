@@ -75,7 +75,9 @@ def load_config(path: str, **overrides) -> Config:
                 v = int(float(v))
         kwargs[k] = v
     cfg = Config(**kwargs)
-    cfg.extra = extra
+    # unknown top-level keys merge INTO an explicit `extra:` mapping rather
+    # than clobbering it (both spellings are accepted)
+    cfg.extra = {**(cfg.extra or {}), **extra}
     return cfg
 
 

@@ -44,14 +44,17 @@ def _pad_z_for_rational_sr(vol: np.ndarray, slice_separation: float):
     return vol, n_crop
 
 
-_FWD_CACHE: dict = {}
+from ..utils.cache import BoundedCache
+
+_FWD_CACHE: BoundedCache = BoundedCache(maxsize=8)
 
 
 def _cached_forward(model, out_index=None):
     """Jitted model forward cached per (model identity, output index) so
     per-subject inference over many volumes reuses one compiled program.
     The entry pins the model object so a GC'd model's id can never alias a
-    new model onto a stale compiled forward."""
+    new model onto a stale compiled forward; LRU-bounded so long-lived
+    processes don't pin compiled programs forever."""
     key = (id(model), out_index)
     if key not in _FWD_CACHE:
         def fwd(p, b):

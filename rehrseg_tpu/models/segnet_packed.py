@@ -52,10 +52,16 @@ def _leaky(x, slope):
 
 
 def _instance_norm(x, scale, bias, eps):
+    # STATISTICS in fp32 regardless of compute dtype (bf16 mean/var over
+    # millions of voxels loses whole digits) but the big elementwise
+    # normalize stays in x.dtype — materializing an fp32 copy of a
+    # full-resolution activation costs 2x HBM on the eval hot path
+    # (measured: 3.4 -> 2.5 Mvox/s on the bench geometry)
     spatial = tuple(range(1, x.ndim - 1))
-    m = jnp.mean(x, axis=spatial, keepdims=True)
-    v = jnp.var(x, axis=spatial, keepdims=True)
-    y = (x - m) * lax.rsqrt(v + eps)
+    x32 = x.astype(jnp.float32)
+    m = jnp.mean(x32, axis=spatial, keepdims=True)
+    v = jnp.var(x32, axis=spatial, keepdims=True)
+    y = (x - m.astype(x.dtype)) * lax.rsqrt(v + eps).astype(x.dtype)
     if scale is not None:
         y = y * scale + bias
     return y
@@ -120,6 +126,14 @@ def _conv_norm_act(x, layout, cp, kernel, stride, feats, a, *,
     h, wd = _true_hw(x, layout)
     strided = stride[1] == 2 and stride[2] == 2
 
+    # The packed dispatch implements exactly two stride shapes:
+    # (1,1,1) and (d,2,2) with the D-stride carried by a kd>1 conv. Any
+    # other legal plans.json stride (D-only (2,1,1), or a (1,k,k) kernel
+    # paired with a D-stride, where conv_packed's kd==1 branch folds D
+    # into the batch and cannot stride it) must take the standard path.
+    packed_stride_ok = (tuple(stride) == (1, 1, 1)
+                        or (strided and (kernel[0] > 1 or stride[0] == 1)))
+
     # a strided conv EMITS unpacked output either way, so whenever its
     # input is already packed, consume it packed regardless of the channel
     # threshold — the alternative is a standalone depth_to_space pass on
@@ -127,8 +141,9 @@ def _conv_norm_act(x, layout, cp, kernel, stride, feats, a, *,
     strided_packable = (strided and layout in ("a", "o")
                         and kernel[1] == 3 and kernel[2] == 3)
 
-    if strided_packable or _packable(kernel, h, wd, feats,
-                                     pack_max_channels):
+    if packed_stride_ok and (strided_packable
+                             or _packable(kernel, h, wd, feats,
+                                          pack_max_channels)):
         if strided and layout != "u":
             if layout == "a":
                 wp = pack_conv_weights(w, in_splits=in_splits,

@@ -142,18 +142,19 @@ def _train_sr_loop(model, tx, state, loader, step_fn, n_steps, save_iters,
     return state
 
 
-_MODEL_FN_CACHE: dict = {}
+from .utils.cache import BoundedCache
+
+_MODEL_FN_CACHE: BoundedCache = BoundedCache(maxsize=8)
 
 
 def seg_model_fns(seg_model, packed: bool = True):
     """Cached (lr_fn, hr_fn) for a SegModel instance. The sliding-window jit
     keys on the model_fn object, so these must be stable across evaluate
     calls to avoid recompilation. The cache entry pins the model object so
-    a GC'd model's id can never alias a new model onto stale forwards.
-
-    packed: evaluate through the space-to-depth packed forward
-    (models/segnet_packed.py) — mathematically identical, measured 1.5-1.6x
-    on chip; per-stage fallback keeps it safe for any patch size."""
+    a GC'd model's id can never alias a new model onto stale forwards; the
+    cache is LRU-bounded so a long-lived serving process that constructs
+    many Segmenters doesn't pin compiled programs forever (an evicted
+    model's reused id simply misses and recompiles)."""
     key = (id(seg_model), bool(packed))
     if key not in _MODEL_FN_CACHE:
         if packed:
@@ -222,6 +223,11 @@ def evaluate(seg_model, seg_params, patch_size, val_img_path, val_label_path,
         all_label.append(lab.flatten())
         all_dice.append(dice)
         print(f"Subject {subject}: {dice}")
+    if not all_dice:
+        raise ValueError(
+            "evaluate(): no subjects evaluated — the validation split is "
+            f"empty after skipping bad_cases ({len(split)} subjects in, "
+            f"{len(bad_cases)} bad_cases)")
     print(f"Global dice: {calculate_dice(np.concatenate(all_pred), np.concatenate(all_label))}")
     print(f"Average dice: {sum(all_dice) / len(all_dice)}")
     return sum(all_dice) / len(all_dice)
@@ -250,6 +256,11 @@ class Pipeline:
         self.wdsr_channels = int(ex.get("wdsr_num_channels", 32))
         self.arch_override = ex.get("arch_override")
         self.eval_mirror = bool(ex.get("eval_mirror", True))
+        # bf16 compute / fp32 master-weight training is the TPU-first
+        # default (train/precision.py; measured step times in
+        # docs/BENCHMARKS.md); extra: {precision: fp32} restores the exact
+        # reference-parity fp32 step
+        self.precision = str(ex.get("precision", "bf16"))
 
     # ------------------------------------------------------------ stage 0
 
@@ -317,7 +328,8 @@ class Pipeline:
                                 device_lr_sim=dev_sim)
             loader = PrefetchLoader(BatchLoader(ds, c.batch_size_sr))
             step_fn = make_sr_train_step(model, tx, enable_uncertainty=False,
-                                         slice_separation=sep, num_slices=1)
+                                         slice_separation=sep, num_slices=1,
+                                         precision=self.precision)
             state = _train_sr_loop(model, tx, state, loader, step_fn, n_steps,
                                    c.save_iters_sr, self.smore_ckpt,
                                    lr_sim_sep=sep if dev_sim else None,
@@ -383,7 +395,8 @@ class Pipeline:
             loader = PrefetchLoader(self._flavr_dataset(model))
             step_fn = make_sr_train_step(model, tx, enable_uncertainty=False,
                                          slice_separation=sep,
-                                         num_slices=c.num_slices)
+                                         num_slices=c.num_slices,
+                                         precision=self.precision)
             state = _train_sr_loop(model, tx, state, loader, step_fn, n_steps,
                                    c.save_iters_sr, self.flavr_ckpt,
                                    lr_sim_sep=sep if dev_sim else None,
@@ -501,7 +514,8 @@ class Pipeline:
             loader = PrefetchLoader(self._flavr_dataset(model))
             step_fn = make_sr_train_step(model, tx, enable_uncertainty=True,
                                          slice_separation=sep,
-                                         num_slices=c.num_slices)
+                                         num_slices=c.num_slices,
+                                         precision=self.precision)
             state = _train_sr_loop(model, tx, state, loader, step_fn, n_steps,
                                    c.save_iters_sr, self.flavr_unc_ckpt,
                                    lr_sim_sep=sep if dev_sim else None,
@@ -662,7 +676,8 @@ class Pipeline:
             seg, tx, enable_uncertainty=c.enable_uncertainty,
             enable_distillation=c.enable_distillation,
             flavr_model=flavr_model, distiller=dist,
-            teacher_window_chunk=(c.extra or {}).get("teacher_window_chunk"))
+            teacher_window_chunk=(c.extra or {}).get("teacher_window_chunk"),
+            precision=self.precision)
 
         total_steps = c.epochs * iters_per_epoch
         best_dice = 0.0
@@ -671,58 +686,62 @@ class Pipeline:
         profile_dir = (c.extra or {}).get("profile_dir")
         print(f"TRAINING NETWORK REHRSeg ({total_steps} steps)")
         guard = PreemptionGuard()
-        with guard:
-          for it in range(int(state.step), total_steps):
-            if profile_dir and it == int(state.step) + 5:
-                # steady-state capture: past compile + warmup
-                jax.profiler.start_trace(profile_dir)
-            if profile_dir and it == int(state.step) + 10:
-                jax.profiler.stop_trace()
-            if guard.should_stop:
-                ckpt.save_checkpoint(self.segsr_ckpt, state)
-                loader.close()
-                raise TrainingPreempted(int(state.step))
-            timer.start()
-            b = loader.next()
-            if aug_fn is not None:
-                aug_key, sub = jax.random.split(aug_key)
-                img_a, llr_a, lhr_a, unc_a = aug_fn(
-                    sub, jnp.asarray(b["img"]), jnp.asarray(b["label_lr"]),
-                    jnp.asarray(b["label_hr"]),
-                    jnp.asarray(b["uncertainty_lr"]))
-                batch = SegBatch(img_a, llr_a, lhr_a, unc_a)
-            else:
-                batch = SegBatch(jnp.asarray(b["img"]),
-                                 jnp.asarray(b["label_lr"]),
-                                 jnp.asarray(b["label_hr"]),
-                                 jnp.asarray(b["uncertainty_lr"]))
-            state, metrics = step_fn(state, flavr_params, batch)
-            timer.stop()
-            if (it + 1) % 100 == 0 or it + 1 == total_steps:
-                mlog.log(it + 1, loss=float(metrics["loss"]),
-                         lr=float(sched(it)), step_time_s=timer.mean())
-            if (it + 1) % c.save_iters_segsr == 0:
-                seg_p = (state.params["seg"] if c.enable_distillation
-                         else state.params)
-                if val_subjects:
-                    # the reference evaluates with the ENLARGED patch
-                    # (x+64, y+64, z) reversed (train_all.py:563,165)
-                    val_dice = evaluate(
-                        seg, seg_p, patch_ori[::-1], c.data_path,
-                        c.data_path.replace("imagesTr", "labelsTr"),
-                        val_subjects, c.slice_separation,
-                        mirror=self.eval_mirror)
-                    print(f"Eval result: {val_dice}")
-                    mlog.log(it + 1, val_dice=float(val_dice))
-                    if val_dice > best_dice:
-                        # keep a best-by-val-dice checkpoint — the reference
-                        # INTENDS this (train_all.py:566-573) but its save
-                        # crashes (quirk Q1); tag dirs don't affect resume
-                        ckpt.save_checkpoint(self.segsr_ckpt, state,
-                                             step="best")
-                    best_dice = max(best_dice, val_dice)
-                ckpt.save_checkpoint(self.segsr_ckpt, state)
-        loader.close()
+        try:
+          with guard:
+            for it in range(int(state.step), total_steps):
+              if profile_dir and it == int(state.step) + 5:
+                  # steady-state capture: past compile + warmup
+                  jax.profiler.start_trace(profile_dir)
+              if profile_dir and it == int(state.step) + 10:
+                  jax.profiler.stop_trace()
+              if guard.should_stop:
+                  ckpt.save_checkpoint(self.segsr_ckpt, state)
+                  raise TrainingPreempted(int(state.step))
+              timer.start()
+              b = loader.next()
+              if aug_fn is not None:
+                  aug_key, sub = jax.random.split(aug_key)
+                  img_a, llr_a, lhr_a, unc_a = aug_fn(
+                      sub, jnp.asarray(b["img"]), jnp.asarray(b["label_lr"]),
+                      jnp.asarray(b["label_hr"]),
+                      jnp.asarray(b["uncertainty_lr"]))
+                  batch = SegBatch(img_a, llr_a, lhr_a, unc_a)
+              else:
+                  batch = SegBatch(jnp.asarray(b["img"]),
+                                   jnp.asarray(b["label_lr"]),
+                                   jnp.asarray(b["label_hr"]),
+                                   jnp.asarray(b["uncertainty_lr"]))
+              state, metrics = step_fn(state, flavr_params, batch)
+              timer.stop()
+              if (it + 1) % 100 == 0 or it + 1 == total_steps:
+                  mlog.log(it + 1, loss=float(metrics["loss"]),
+                           lr=float(sched(it)), step_time_s=timer.mean())
+              if (it + 1) % c.save_iters_segsr == 0:
+                  seg_p = (state.params["seg"] if c.enable_distillation
+                           else state.params)
+                  if val_subjects:
+                      # the reference evaluates with the ENLARGED patch
+                      # (x+64, y+64, z) reversed (train_all.py:563,165)
+                      val_dice = evaluate(
+                          seg, seg_p, patch_ori[::-1], c.data_path,
+                          c.data_path.replace("imagesTr", "labelsTr"),
+                          val_subjects, c.slice_separation,
+                          mirror=self.eval_mirror)
+                      print(f"Eval result: {val_dice}")
+                      mlog.log(it + 1, val_dice=float(val_dice))
+                      if val_dice > best_dice:
+                          # keep a best-by-val-dice checkpoint — the
+                          # reference INTENDS this (train_all.py:566-573)
+                          # but its save crashes (quirk Q1); tag dirs don't
+                          # affect resume
+                          ckpt.save_checkpoint(self.segsr_ckpt, state,
+                                               step="best")
+                      best_dice = max(best_dice, val_dice)
+                  ckpt.save_checkpoint(self.segsr_ckpt, state)
+        finally:
+            # close on ANY exit (step_fn/evaluate/checkpoint errors included)
+            # so the prefetch worker thread never leaks
+            loader.close()
         ckpt.save_checkpoint(self.segsr_ckpt, state, step=total_steps)
         return seg, state, best_dice
 
@@ -827,7 +846,7 @@ class Pipeline:
             enable_distillation=c.enable_distillation,
             flavr_model=flavr_model, distiller=dist,
             teacher_window_chunk=(c.extra or {}).get("teacher_window_chunk"),
-            donate=False)
+            donate=False, precision=self.precision)
         fold_step = make_fold_parallel_step(base_step, mesh)
 
         aug_fn = None
@@ -840,58 +859,86 @@ class Pipeline:
         aug_key = jax.random.key(0)
 
         total_steps = c.epochs * iters_per_epoch
-        start = int(np.min(np.asarray(stacked.step)))
+        # per-fold checkpoints are written together, so unequal restored
+        # steps mean a torn save (crash mid-save-loop) or external edits:
+        # resume from max — the behind folds lose at most one save interval
+        # of steps, vs min-resume silently re-running steps on the ahead
+        # folds and desynchronizing their counters/schedules from
+        # total_steps
+        fold_steps = [int(st.step) for st in states]
+        if len(set(fold_steps)) > 1:
+            print(f"WARNING: unequal fold checkpoint steps {fold_steps}; "
+                  "resuming from max")
+        start = max(fold_steps)
         mlog = MetricsLogger(self.segsr_ckpt + "_folds")
         best = [0.0] * K
+
+        def save_all(tag=None):
+            for k, st in enumerate(unstack_fold_state(stacked, K)):
+                ckpt.save_checkpoint(ckpt_dirs[k], st, step=tag)
+
         print(f"TRAINING NETWORK REHRSeg x{K} folds ({total_steps} steps, "
               f"mesh={dict(mesh.shape)})")
-        for it in range(start, total_steps):
-            fold_batches = []
-            for k in range(K):
-                b = loaders[k].next()
-                if aug_fn is not None:
-                    aug_key, sub = jax.random.split(aug_key)
-                    img_a, llr_a, lhr_a, unc_a = aug_fn(
-                        sub, jnp.asarray(b["img"]),
-                        jnp.asarray(b["label_lr"]),
-                        jnp.asarray(b["label_hr"]),
-                        jnp.asarray(b["uncertainty_lr"]))
-                    fold_batches.append(SegBatch(img_a, llr_a, lhr_a, unc_a))
-                else:
-                    fold_batches.append(SegBatch(
-                        jnp.asarray(b["img"]), jnp.asarray(b["label_lr"]),
-                        jnp.asarray(b["label_hr"]),
-                        jnp.asarray(b["uncertainty_lr"])))
-            batch = place_fold_batch(
-                jax.tree.map(lambda *xs: jnp.stack(xs), *fold_batches), mesh)
-            stacked, metrics = fold_step(stacked, fparams_k, batch)
-            if (it + 1) % 100 == 0 or it + 1 == total_steps:
-                losses = np.asarray(metrics["loss"]).reshape(-1)
-                mlog.log(it + 1, **{f"loss_fold{k}": float(losses[k])
-                                    for k in range(K)})
-            if (it + 1) % c.save_iters_segsr == 0 or it + 1 == total_steps:
-                per_fold = unstack_fold_state(stacked, K)
-                for k, st in enumerate(per_fold):
-                    seg_p = (st.params["seg"] if c.enable_distillation
-                             else st.params)
-                    val_sub = folds[k][1]
-                    if val_sub:
-                        val_dice = evaluate(
-                            seg, seg_p, patch_ori[::-1], c.data_path,
-                            c.data_path.replace("imagesTr", "labelsTr"),
-                            val_sub, c.slice_separation,
-                            mirror=self.eval_mirror)
-                        print(f"Eval fold {k}: {val_dice}")
-                        mlog.log(it + 1, **{f"val_dice_fold{k}":
-                                            float(val_dice)})
-                        if val_dice > best[k]:
-                            ckpt.save_checkpoint(ckpt_dirs[k], st,
-                                                 step="best")
-                            best[k] = val_dice
-                    ckpt.save_checkpoint(ckpt_dirs[k], st,
-                                         step=(total_steps
-                                               if it + 1 == total_steps
-                                               else None))
+        guard = PreemptionGuard()
+        try:
+          with guard:
+            for it in range(start, total_steps):
+              if guard.should_stop:
+                  save_all()
+                  raise TrainingPreempted(
+                      int(np.max(np.asarray(stacked.step))))
+              fold_batches = []
+              for k in range(K):
+                  b = loaders[k].next()
+                  if aug_fn is not None:
+                      aug_key, sub = jax.random.split(aug_key)
+                      img_a, llr_a, lhr_a, unc_a = aug_fn(
+                          sub, jnp.asarray(b["img"]),
+                          jnp.asarray(b["label_lr"]),
+                          jnp.asarray(b["label_hr"]),
+                          jnp.asarray(b["uncertainty_lr"]))
+                      fold_batches.append(
+                          SegBatch(img_a, llr_a, lhr_a, unc_a))
+                  else:
+                      fold_batches.append(SegBatch(
+                          jnp.asarray(b["img"]), jnp.asarray(b["label_lr"]),
+                          jnp.asarray(b["label_hr"]),
+                          jnp.asarray(b["uncertainty_lr"])))
+              batch = place_fold_batch(
+                  jax.tree.map(lambda *xs: jnp.stack(xs), *fold_batches),
+                  mesh)
+              stacked, metrics = fold_step(stacked, fparams_k, batch)
+              if (it + 1) % 100 == 0 or it + 1 == total_steps:
+                  losses = np.asarray(metrics["loss"]).reshape(-1)
+                  mlog.log(it + 1, **{f"loss_fold{k}": float(losses[k])
+                                      for k in range(K)})
+              if (it + 1) % c.save_iters_segsr == 0 or it + 1 == total_steps:
+                  per_fold = unstack_fold_state(stacked, K)
+                  for k, st in enumerate(per_fold):
+                      seg_p = (st.params["seg"] if c.enable_distillation
+                               else st.params)
+                      val_sub = folds[k][1]
+                      if val_sub:
+                          val_dice = evaluate(
+                              seg, seg_p, patch_ori[::-1], c.data_path,
+                              c.data_path.replace("imagesTr", "labelsTr"),
+                              val_sub, c.slice_separation,
+                              mirror=self.eval_mirror)
+                          print(f"Eval fold {k}: {val_dice}")
+                          mlog.log(it + 1, **{f"val_dice_fold{k}":
+                                              float(val_dice)})
+                          if val_dice > best[k]:
+                              ckpt.save_checkpoint(ckpt_dirs[k], st,
+                                                   step="best")
+                              best[k] = val_dice
+                      ckpt.save_checkpoint(ckpt_dirs[k], st,
+                                           step=(total_steps
+                                                 if it + 1 == total_steps
+                                                 else None))
+        finally:
+            for ld in loaders:
+                if hasattr(ld, "close"):
+                    ld.close()
         return seg, unstack_fold_state(stacked, K), best
 
     # ------------------------------------------------------------ run all

@@ -40,6 +40,9 @@ class PreemptionGuard:
             prev = self._previous.get(signum, signal.SIG_DFL)
             signal.signal(signum, prev if callable(prev) or prev in
                           (signal.SIG_DFL, signal.SIG_IGN) else signal.SIG_DFL)
+            # re-deliver so THIS signal terminates as documented (merely
+            # restoring the handler would swallow it and require a third)
+            signal.raise_signal(signum)
             return
         self.should_stop = True
 

@@ -194,3 +194,24 @@ def test_packed_three_convs_per_stage(rng):
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(got_hr), np.asarray(ref_hr),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_packed_unusual_strides_fall_back(rng):
+    """Strides the packed dispatch doesn't implement — D-only (2,1,1) and a
+    (1,3,3) kernel paired with a full (2,2,2) stride — must route to the
+    standard path (not silently drop the D stride). Regression for the
+    round-2 advisor finding."""
+    arch = dict(
+        ARCH_SMALL,
+        kernel_sizes=((1, 3, 3), (1, 3, 3), (1, 3, 3), (3, 3, 3)),
+        strides=((1, 1, 1), (2, 1, 1), (2, 2, 2), (1, 2, 2)),
+    )
+    model, params, x = _setup(arch, rng, shape=(1, 8, 32, 48, 1))
+    ref_lr, ref_hr = model.apply(params, x)
+    got_lr, got_hr = segmodel_apply_packed(arch, params, x,
+                                           pack_max_channels=64, dual=True,
+                                           upscale=4)
+    np.testing.assert_allclose(np.asarray(got_lr), np.asarray(ref_lr),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_hr), np.asarray(ref_hr),
+                               rtol=2e-4, atol=2e-4)

@@ -68,3 +68,15 @@ def test_get_random_centers_weighted_avoids_edges(rng):
     centers = get_random_centers([img], (8, 8, 1), 40, weighted=True, rng=rng)
     for _, (cx, cy, cz) in centers:
         assert 5 <= cx <= 26 and 5 <= cy <= 26
+
+
+def test_bounded_cache_lru():
+    from rehrseg_tpu.utils.cache import BoundedCache
+    c = BoundedCache(maxsize=2)
+    c["a"] = 1
+    c["b"] = 2
+    assert "a" in c          # refreshes a's recency
+    c["c"] = 3               # evicts b (least recently used)
+    assert "b" not in c and "a" in c and "c" in c
+    assert len(c) == 2
+    assert c["a"] == 1
