@@ -1,0 +1,198 @@
+"""Golden numeric parity against the ACTUAL reference torch models.
+
+The strongest parity evidence this environment permits: instantiate the
+reference `UNet_3D_3D` (models/FLAVR/FLAVR_arch.py:117-247, both the plain
+and the `use_uncertainty=True` UASR head) and the reference WDSR
+(models/wdsr.py:58-95) from /root/reference, export their state_dicts,
+convert through `train.torch_import`, and assert forward agreement with the
+flax models on random inputs — including the KD-teacher interface
+(`return_inetermediate_feature`).
+
+The reference modules import `resize.pytorch` / `SimpleITK` (not installed
+here); both are stubbed — `resize` is only exercised at scale 1 (identity)
+on these paths.
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+pytestmark = pytest.mark.slow
+
+REF = "/root/reference"
+
+
+@pytest.fixture(scope="module")
+def ref_models():
+    """Import the reference model modules with their unavailable deps
+    stubbed. Module-scoped: one sys.path/sys.modules mutation."""
+    resize_stub = types.ModuleType("resize")
+    resize_pytorch = types.ModuleType("resize.pytorch")
+
+    def _resize(x, scales, order=3):
+        # only the identity case reaches this in the tested paths
+        assert all(abs(float(s) - 1.0) < 1e-12 for s in scales), scales
+        return x
+
+    resize_pytorch.resize = _resize
+    resize_stub.pytorch = resize_pytorch
+    sitk_stub = types.ModuleType("SimpleITK")
+    mods = {"resize": resize_stub, "resize.pytorch": resize_pytorch,
+            "SimpleITK": sitk_stub}
+    saved = {k: sys.modules.get(k) for k in mods}
+    sys.modules.update(mods)
+    sys.path.insert(0, REF)
+    try:
+        import importlib
+        flavr_arch = importlib.import_module("models.FLAVR.FLAVR_arch")
+        wdsr_ref = importlib.import_module("models.wdsr")
+        yield flavr_arch, wdsr_ref
+    finally:
+        sys.path.remove(REF)
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+
+def _flavr_pair(ref_models, use_uncertainty):
+    """(converted flax params, reference torch model) for UNet_3D_3D."""
+    import jax
+    import jax.numpy as jnp
+    from rehrseg_tpu.models import UNet3D
+    from rehrseg_tpu.train import torch_import
+
+    flavr_arch, _ = ref_models
+    torch.manual_seed(0)
+    tm = flavr_arch.UNet_3D_3D(
+        img_channels=2, block="unet_18", n_inputs=4, n_outputs=4,
+        batchnorm=False, joinType="concat", upmode="transpose",
+        use_uncertainty=use_uncertainty).eval()
+    sd = {k: np.asarray(v.detach().numpy())
+          for k, v in tm.state_dict().items()}
+
+    fm = UNet3D(img_channels=2, n_inputs=4, n_outputs=4,
+                use_uncertainty=use_uncertainty)
+    params = fm.init(jax.random.key(0), jnp.zeros((1, 4, 16, 16, 2)))
+    params, loaded, skipped = torch_import.import_flavr(
+        params, sd, drop=(), use_uncertainty=use_uncertainty, verbose=False)
+    # every LIVE reference tensor must land (full coverage, not just
+    # overlap). The reference constructs BOTH heads' modules regardless of
+    # mode (FLAVR_arch.py:146,153) — feature_fuse1 is dead on the plain
+    # path, outconv on the UASR path; the flax model carries only the live
+    # head.
+    dead = ("outconv",) if use_uncertainty else ("feature_fuse1",)
+    live = {k for k in sd if not any(d in k for d in dead)}
+    assert set(loaded) == live, sorted(live ^ set(loaded))[:8]
+    return fm, params, tm
+
+
+def _rand_input(rng, shape=(2, 2, 4, 32, 32)):
+    x = rng.normal(size=shape).astype(np.float32)
+    # image channel offset so the batch-mean centering path is non-trivial
+    x[:, 0] += 1.5
+    return x
+
+
+def test_flavr_plain_head_matches_reference(ref_models, rng):
+    import jax.numpy as jnp
+    fm, params, tm = _flavr_pair(ref_models, use_uncertainty=False)
+    x = _rand_input(rng)
+    with torch.no_grad():
+        # clone: the reference forward mutates its input in place (quirk Q4)
+        ref = tm(torch.from_numpy(x).clone()).numpy()  # (B, C, n_out, H, W)
+    got = np.asarray(fm.apply(params, jnp.asarray(
+        x.transpose(0, 2, 3, 4, 1))))                  # (B, n_out, H, W, C)
+    np.testing.assert_allclose(got, ref.transpose(0, 2, 3, 4, 1),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_flavr_uasr_head_matches_reference(ref_models, rng):
+    import jax.numpy as jnp
+    fm, params, tm = _flavr_pair(ref_models, use_uncertainty=True)
+    x = _rand_input(rng)
+    with torch.no_grad():
+        ref_out, ref_unc = tm(torch.from_numpy(x).clone())
+    got_out, got_unc = fm.apply(params, jnp.asarray(
+        x.transpose(0, 2, 3, 4, 1)))
+    np.testing.assert_allclose(np.asarray(got_out),
+                               ref_out.numpy().transpose(0, 2, 3, 4, 1),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_unc),
+                               ref_unc.numpy().transpose(0, 2, 3, 4, 1),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_flavr_intermediate_features_match_reference(ref_models, rng):
+    """The KD-teacher interface (FLAVR_arch.py:185-186): all 5 encoder
+    feature maps, incl. the x_1 the Distiller consumes."""
+    import jax.numpy as jnp
+    fm, params, tm = _flavr_pair(ref_models, use_uncertainty=False)
+    x = _rand_input(rng, shape=(1, 2, 4, 32, 32))
+    with torch.no_grad():
+        refs = tm(torch.from_numpy(x).clone(),
+                  return_inetermediate_feature=True)
+    gots = fm.apply(params, jnp.asarray(x.transpose(0, 2, 3, 4, 1)),
+                    return_intermediate_feature=True)
+    assert len(refs) == len(gots) == 5
+    for i, (r, g) in enumerate(zip(refs, gots)):
+        np.testing.assert_allclose(
+            np.asarray(g), r.numpy().transpose(0, 2, 3, 4, 1),
+            rtol=1e-4, atol=1e-5, err_msg=f"feature x_{i}")
+
+
+def test_flavr_reference_drop_filter_semantics(ref_models):
+    """The warm-start drop list (train_all.py:350-356) must drop exactly
+    stem/outconv/feature_fuse tensors and load everything else."""
+    import jax
+    import jax.numpy as jnp
+    from rehrseg_tpu.models import UNet3D
+    from rehrseg_tpu.train import torch_import
+
+    flavr_arch, _ = ref_models
+    tm = flavr_arch.UNet_3D_3D(img_channels=2, block="unet_18", n_inputs=4,
+                               n_outputs=4, use_uncertainty=False).eval()
+    sd = {k: np.asarray(v.numpy()) for k, v in tm.state_dict().items()}
+    fm = UNet3D(img_channels=2, n_inputs=4, n_outputs=4)
+    params = fm.init(jax.random.key(0), jnp.zeros((1, 4, 16, 16, 2)))
+    _, loaded, _ = torch_import.import_flavr(params, sd, verbose=False)
+    dropped = ("encoder.stem.0", "outconv.1", "feature_fuse")
+    assert not any(any(d in k for d in dropped) for k in loaded)
+    expect_loaded = [k for k in sd if not any(d in k for d in dropped)]
+    assert set(loaded) == set(expect_loaded)
+
+
+def test_wdsr_matches_reference(ref_models, rng):
+    """Integer-scale WDSR (scale=4 -> fractional pre-resize is identity):
+    weight-norm reparam + 1-axis pixel shuffle + skip head all pinned."""
+    import jax
+    import jax.numpy as jnp
+    from rehrseg_tpu.models import WDSR
+    from rehrseg_tpu.train import torch_import
+
+    _, wdsr_ref = ref_models
+    torch.manual_seed(1)
+    tm = wdsr_ref.WDSR(out_channel=2, n_resblocks=3, num_channels=8,
+                       scale=4).eval()
+    sd = {k: np.asarray(v.detach().numpy())
+          for k, v in tm.state_dict().items()}
+
+    fm = WDSR(out_channel=2, n_resblocks=3, num_channels=8, scale=4)
+    params = fm.init(jax.random.key(0), jnp.zeros((1, 8, 8, 2)))
+    params, loaded, skipped = torch_import.import_wdsr(
+        params, sd, n_resblocks=3, verbose=False)
+    assert not skipped, skipped[:8]
+    assert set(loaded) == set(sd), sorted(set(sd) - set(loaded))[:8]
+
+    x = rng.normal(size=(2, 2, 24, 20)).astype(np.float32)  # (B, C, X, Y)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x)).numpy()      # (B, C, 4X, Y)
+    got = np.asarray(fm.apply(params, jnp.asarray(x.transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(got, ref.transpose(0, 2, 3, 1),
+                               rtol=1e-4, atol=1e-5)
+    assert fm.calc_out_patch_size([24, 20]) == list(ref.shape[2:])
