@@ -39,7 +39,10 @@ class WNConv(nn.Module):
                                                 axis=(0, 1, 2))),
             (self.features,),
         )
-        norm = jnp.sqrt(jnp.sum(v ** 2, axis=(0, 1, 2), keepdims=True) + 1e-12)
+        # ||v|| in fp32 even under a bf16 compute policy (a sum of squares
+        # over k*k*I terms loses digits in bf16), then back to v's dtype
+        norm = jnp.sqrt(jnp.sum(v.astype(jnp.float32) ** 2, axis=(0, 1, 2),
+                                keepdims=True) + 1e-12).astype(v.dtype)
         kernel = g * v / norm
         out = jax.lax.conv_general_dilated(
             x, kernel, window_strides=(1, 1), padding=self.padding,

@@ -39,7 +39,8 @@ def flavr_window_indices(depth: int) -> np.ndarray:
 
 def flavr_teacher_features(flavr_model, flavr_params, img_lr: jnp.ndarray,
                            label_lr: jnp.ndarray, feature_index: int = 1,
-                           window_chunk: int | None = None):
+                           window_chunk: int | None = None,
+                           compute_dtype=None):
     """Teacher feature volume for KD (get_intermediate_features parity).
 
     img_lr, label_lr: (B, D, H, W, 1). Returns (B, D, H', W', C') where
@@ -47,9 +48,15 @@ def flavr_teacher_features(flavr_model, flavr_params, img_lr: jnp.ndarray,
 
     window_chunk: process the B*(D-1) z-windows in chunks of this size via
     lax.map (memory cap at production patch sizes); None = one big batch.
+    compute_dtype: cast the (zscore-normalized, fp32) windows to this dtype
+    for the encoder forward — pass the caller's bf16 policy dtype together
+    with bf16-cast flavr_params (flax promotes input x kernel, so a fp32
+    input would silently upcast the whole teacher).
     """
     img = zscore_batch(img_lr)
     x = jnp.concatenate([img, label_lr], axis=-1)  # (B, D, H, W, 2)
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
     b, d, h, w, c = x.shape
     padded = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
     idx = flavr_window_indices(d)  # (d-1, 4)
@@ -119,7 +126,8 @@ def make_seg_train_step(seg_model, tx: optax.GradientTransformation,
                         teacher_window_chunk: int | None = None,
                         donate: bool = True,
                         packed: bool = True,
-                        remat: bool = True) -> Callable:
+                        remat: bool = True,
+                        precision: str | None = None) -> Callable:
     """Returns jitted step(state, flavr_params, batch) -> (state, metrics).
 
     `state.params` is {'seg': seg_params, 'distiller': distiller_params} when
@@ -137,9 +145,15 @@ def make_seg_train_step(seg_model, tx: optax.GradientTransformation,
     remat: checkpoint each UNet stage + the SR head (packed path only) —
     REQUIRED to fit real plans.json patches in 16 GB HBM (the plain
     fwd+bwd at batch 2 x (16,256,320) wants 45.8 GB).
+    precision: 'bf16' runs the student forward/backward and the frozen
+    teacher in bfloat16 against fp32 master weights (train.precision);
+    logits are cast back to fp32 at the loss boundary so every dice/CE/KD
+    reduction stays fp32. None/'fp32' = exact reference-parity step.
     """
     from ..losses import deep_supervision_weights
+    from .precision import policy as _policy
 
+    pol = _policy(precision)
     ds_scales = (ds_scales_from_arch(seg_model.arch)
                  if deep_supervision else None)
     use_packed = bool(packed) and not deep_supervision
@@ -150,14 +164,18 @@ def make_seg_train_step(seg_model, tx: optax.GradientTransformation,
 
     def loss_fn(params, flavr_params, batch: SegBatch):
         seg_params = params["seg"] if enable_distillation else params
+        seg_params = pol.cast_compute(seg_params)
+        img_c = pol.cast_compute(batch.img)
         if use_packed:
             lr_logits, hr_logits, skips = segmodel_apply_packed(
-                packed_arch, seg_params, batch.img, dual=True,
+                packed_arch, seg_params, img_c, dual=True,
                 upscale=packed_upscale, pack_max_channels=64,
                 return_skips=True, remat=remat)
         else:
             lr_logits, hr_logits, skips = seg_model.apply(
-                seg_params, batch.img, return_intermediate_feature=True)
+                seg_params, img_c, return_intermediate_feature=True)
+        lr_logits = pol.cast_reduce(lr_logits)
+        hr_logits = pol.cast_reduce(hr_logits)
 
         unc = batch.uncertainty_lr if enable_uncertainty else None
         weight_dice_lr = 0.0 if enable_uncertainty else 1.0
@@ -193,9 +211,14 @@ def make_seg_train_step(seg_model, tx: optax.GradientTransformation,
 
         if enable_distillation:
             teacher = flavr_teacher_features(
-                flavr_model, flavr_params, batch.img, batch.label_lr,
-                window_chunk=teacher_window_chunk)
-            student = skips[1]
+                flavr_model, pol.cast_compute(flavr_params), batch.img,
+                batch.label_lr, window_chunk=teacher_window_chunk,
+                compute_dtype=(None if pol.is_identity
+                               else pol.compute_dtype))
+            # KD math (pairwise-sim matrices, cosine) reduces in fp32; the
+            # tiny distiller projection stays an fp32 module
+            student = pol.cast_reduce(skips[1])
+            teacher = pol.cast_reduce(teacher)
             kd = distiller.apply(params["distiller"], student, teacher)
             loss = loss + kd
             metrics["loss_kd"] = kd

@@ -36,17 +36,28 @@ def crop_hr_target(patches_hr: jnp.ndarray, slice_separation: int,
 
 def make_sr_train_step(model, tx: optax.GradientTransformation,
                        enable_uncertainty: bool, slice_separation: float,
-                       num_slices: int, donate: bool = True) -> Callable:
-    """Returns jitted step(state, patches_lr, patches_hr) -> (state, metrics)."""
+                       num_slices: int, donate: bool = True,
+                       precision: str | None = None) -> Callable:
+    """Returns jitted step(state, patches_lr, patches_hr) -> (state, metrics).
+
+    precision: 'bf16' runs the model forward/backward in bfloat16 against
+    fp32 master weights (train.precision.Policy); losses and the optimizer
+    update stay fp32. None/'fp32' is the exact reference-parity step.
+    """
+    from .precision import policy as _policy
+    pol = _policy(precision)
 
     def loss_fn(params, patches_lr, patches_hr):
         target = crop_hr_target(patches_hr, int(slice_separation), num_slices)
+        p = pol.cast_compute(params)
+        x = pol.cast_compute(patches_lr)
         if enable_uncertainty:
-            pred, uncertainty = model.apply(params, patches_lr)
-            loss = sr_uncertainty_loss(pred, uncertainty, target)
+            pred, uncertainty = model.apply(p, x)
+            loss = sr_uncertainty_loss(pol.cast_reduce(pred),
+                                       pol.cast_reduce(uncertainty), target)
         else:
-            pred = model.apply(params, patches_lr)
-            loss = sr_loss(pred, target)
+            pred = model.apply(p, x)
+            loss = sr_loss(pol.cast_reduce(pred), target)
         return loss
 
     def step(state: TrainState, patches_lr, patches_hr):
