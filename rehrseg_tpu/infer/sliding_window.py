@@ -407,6 +407,63 @@ def predict_sliding_window_labels_streamed(model_fn: Callable, params,
                      axis=-1).astype(np.uint8)
 
 
+def predict_sliding_window_dual_labels_streamed(
+        model_fn: Callable, params, data: np.ndarray, patch_size,
+        *, slice_separation: int, z_slab_tiles: int = 2,
+        tile_step_size: float = 0.5, use_gaussian: bool = True,
+        mirror: bool = True, num_classes: int = 2,
+        input_dtype=jnp.bfloat16):
+    """Streamed LR+HR prediction for volumes larger than one chip's HBM.
+
+    The HR head is the case that NEEDS streaming most — its output is
+    slice_separation x the voxels (the reference rescales the slicer z for
+    the HR pass, seg_utils.py:273-274, 775-784). Tiles group into z-slabs
+    exactly as :func:`predict_sliding_window_labels_streamed`; each slab
+    keeps slab-local LR AND HR accumulators on device and merges them into
+    host fp32 buffers at z-offset (and z-offset x sep for HR). Additivity
+    of the gaussian-weighted sums makes the result exactly equal to the
+    one-pass dual path (tests/test_sliding_window.py).
+
+    Returns (lr_labels, hr_labels) uint8.
+    """
+    patch_size = tuple(int(p) for p in patch_size)
+    pd = patch_size[0]
+    sep = int(slice_separation)
+    z_starts, y_steps, x_steps = compute_steps_for_sliding_window(
+        data.shape[:3], patch_size, tile_step_size)
+
+    d, h, w = data.shape[:3]
+    llr_host = np.zeros((d, h, w, num_classes), dtype=np.float32)
+    wlr_host = np.zeros((d, h, w), dtype=np.float32)
+    lhr_host = np.zeros((d * sep, h, w, num_classes), dtype=np.float32)
+    whr_host = np.zeros((d * sep, h, w), dtype=np.float32)
+
+    g_lr = _device_gaussian(patch_size, bool(use_gaussian))
+    g_hr = _device_gaussian((pd * sep,) + patch_size[1:], bool(use_gaussian))
+
+    for g0 in range(0, len(z_starts), z_slab_tiles):
+        group = z_starts[g0:g0 + z_slab_tiles]
+        z_lo = group[0]
+        z_hi = group[-1] + pd
+        slab = data[z_lo:z_hi]
+        starts = np.asarray(
+            [(sz - z_lo, sy, sx, 1) for sz in group for sy in y_steps
+             for sx in x_steps], dtype=np.int32)
+        dev_slab = jnp.asarray(np.asarray(slab, np.float32),
+                               dtype=input_dtype)
+        llr, wlr, lhr, whr = _sliding_window_scan_dual(
+            model_fn, params, dev_slab, jnp.asarray(starts), g_lr, g_hr,
+            patch_size, tuple(slab.shape[:3]), sep, bool(mirror),
+            int(num_classes))
+        llr_host[z_lo:z_hi] += np.asarray(llr)
+        wlr_host[z_lo:z_hi] += np.asarray(wlr)
+        lhr_host[z_lo * sep:z_hi * sep] += np.asarray(lhr)
+        whr_host[z_lo * sep:z_hi * sep] += np.asarray(whr)
+
+    return (np.argmax(llr_host / wlr_host[..., None], -1).astype(np.uint8),
+            np.argmax(lhr_host / whr_host[..., None], -1).astype(np.uint8))
+
+
 def predict_sliding_window_labels_many(model_fn: Callable, params,
                                        volumes, patch_size,
                                        *, slice_separation: int = 1,

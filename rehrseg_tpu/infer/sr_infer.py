@@ -103,14 +103,64 @@ def flavr_windows(vol_zhw: np.ndarray) -> np.ndarray:
     return padded[idx]
 
 
+_VOL_FWD_CACHE: BoundedCache = BoundedCache(maxsize=8)
+
+
+def _cached_volume_forward(model, out_index: int, batch: int,
+                           compute_dtype=None):
+    """Jitted DEVICE-RESIDENT volume inference: the (z, H, W, C) volume
+    uploads once; z-windowing (a gather), every 4-slice forward (lax.map
+    over window chunks), and the slice concat all run inside ONE jit. The
+    host-loop variant in infer_flavr_volume re-uploads each window (the
+    windows overlap 4x, so it ships 4x the volume over PCIe/tunnel);
+    this is the TPU-first path — same math, pinned by
+    tests/test_sr_axis_golden.py::test_flavr_device_volume_parity."""
+    key = (id(model), out_index, batch, compute_dtype)
+    if key not in _VOL_FWD_CACHE:
+        def vol_fwd(p, vol_zhw):  # (z, H, W, c) -> (4*(z-1), H, W, c_out)
+            z = vol_zhw.shape[0]
+            if compute_dtype is not None:
+                vol_zhw = vol_zhw.astype(compute_dtype)
+                p = jax.tree.map(
+                    lambda t: t.astype(compute_dtype)
+                    if jnp.issubdtype(t.dtype, jnp.inexact) else t, p)
+            padded = jnp.pad(vol_zhw, ((1, 1), (0, 0), (0, 0), (0, 0)))
+            idx = np.arange(z - 1)[:, None] + np.arange(4)[None]
+            windows = padded[idx]  # (z-1, 4, H, W, c)
+            nw = z - 1
+            pad_n = (-nw) % batch
+            if pad_n:
+                windows = jnp.concatenate(
+                    [windows,
+                     jnp.zeros((pad_n, *windows.shape[1:]), windows.dtype)])
+            chunks = windows.reshape(-1, batch, *windows.shape[1:])
+
+            def one(chunk):
+                out = model.apply(p, chunk)
+                if isinstance(out, tuple):
+                    out = out[out_index]
+                return out
+
+            outs = jax.lax.map(one, chunks)
+            out = outs.reshape(-1, *outs.shape[2:])[:nw]  # (z-1,4,H,W,co)
+            return out.reshape(4 * nw, *out.shape[2:])
+
+        _VOL_FWD_CACHE[key] = (model, jax.jit(vol_fwd))
+    return _VOL_FWD_CACHE[key][1]
+
+
 def infer_flavr_volume(model, params, volume: np.ndarray,
                        slice_separation: float, out_index: int | None = None,
-                       batch: int = 8) -> np.ndarray:
+                       batch: int = 8, device: bool = True) -> np.ndarray:
     """volume: (x, y, z, c). Returns (x, y, 4*(z_pad-1), c_out) where c_out
     follows the selected model output (0 = SR image+label, 1 = uncertainty).
 
     The z-windows batch through the model in chunks; H/W are zero-padded to
     multiples of 16 for the encoder strides (sr_utils.py:106-113).
+
+    device=True (default) runs windowing + all forwards device-resident in
+    one jit (volume uploads once); device=False is the host-loop oracle
+    (identical output, 4x the upload traffic).
     """
     vol, n_crop = _pad_z_for_rational_sr(volume, slice_separation)
     x, y, z, c = vol.shape
@@ -121,19 +171,29 @@ def infer_flavr_volume(model, params, volume: np.ndarray,
     if pad_h or pad_w:
         vol_zhw = np.pad(vol_zhw, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
 
-    windows = flavr_windows(vol_zhw)  # (z-1, 4, H, W, c)
-    nw = windows.shape[0]
-    pad_n = (-nw) % batch
-    if pad_n:
-        windows = np.concatenate(
-            [windows, np.zeros((pad_n, *windows.shape[1:]), windows.dtype)],
-            axis=0)
+    if device:
+        fwd = _cached_volume_forward(model,
+                                     out_index if out_index is not None
+                                     else 0, batch)
+        out = np.asarray(fwd(params, jnp.asarray(vol_zhw)))
+        out = out.reshape(z - 1, 4, *out.shape[1:])
+    else:
+        windows = flavr_windows(vol_zhw)  # (z-1, 4, H, W, c)
+        nw = windows.shape[0]
+        pad_n = (-nw) % batch
+        if pad_n:
+            windows = np.concatenate(
+                [windows,
+                 np.zeros((pad_n, *windows.shape[1:]), windows.dtype)],
+                axis=0)
 
-    fwd = _cached_forward(model, out_index if out_index is not None else 0)
-    outs = []
-    for st in range(0, windows.shape[0], batch):
-        outs.append(np.asarray(fwd(params, jnp.asarray(windows[st:st + batch]))))
-    out = np.concatenate(outs, axis=0)[:nw]  # (z-1, 4, H, W, c_out)
+        fwd = _cached_forward(model, out_index if out_index is not None
+                              else 0)
+        outs = []
+        for st in range(0, windows.shape[0], batch):
+            outs.append(np.asarray(
+                fwd(params, jnp.asarray(windows[st:st + batch]))))
+        out = np.concatenate(outs, axis=0)[:nw]  # (z-1, 4, H, W, c_out)
     out = out[:, :, :x, :y]                  # strip the x16 padding
     zo = out.shape[0] * out.shape[1]
     out = out.reshape(zo, x, y, out.shape[-1])

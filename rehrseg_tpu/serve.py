@@ -22,6 +22,8 @@ from .utils.pad import target_pad, crop
 from .data.normalize import zscore_normalization
 from .infer.sliding_window import (
     predict_sliding_window_labels, predict_sliding_window_dual_labels,
+    predict_sliding_window_labels_streamed,
+    predict_sliding_window_dual_labels_streamed,
     _run_sliding_window, _argmax_uint8,
 )
 
@@ -45,6 +47,10 @@ class Segmenter:
     # jax.sharding.Mesh: 'data' shards TTA, 'spatial' halo-shards tile H
     # across chips (LR path; see infer.sliding_window)
     mesh: object = None
+    # streaming: None = whole-volume accumulators on device; an int = z-slab
+    # streaming with that many tile-rows per slab (for volumes whose
+    # accumulators exceed HBM; exact same result, LR and HR paths both)
+    streaming: int | None = None
     compute_dtype = jnp.bfloat16
 
     def __post_init__(self):
@@ -91,17 +97,30 @@ class Segmenter:
         """volume: (z, y, x). Returns LR uint8 mask, or (lr, hr) with hr."""
         vol_p, pads = self._prep(volume_zyx)
         if hr:
-            lr_full, hr_full = predict_sliding_window_dual_labels(
-                self._dual_fn, self.params, vol_p, self.patch_size,
-                slice_separation=self.slice_separation,
-                tile_step_size=self.tile_step_size, mirror=self.mirror)
+            if self.streaming:
+                lr_full, hr_full = predict_sliding_window_dual_labels_streamed(
+                    self._dual_fn, self.params, vol_p, self.patch_size,
+                    slice_separation=self.slice_separation,
+                    z_slab_tiles=int(self.streaming),
+                    tile_step_size=self.tile_step_size, mirror=self.mirror)
+            else:
+                lr_full, hr_full = predict_sliding_window_dual_labels(
+                    self._dual_fn, self.params, vol_p, self.patch_size,
+                    slice_separation=self.slice_separation,
+                    tile_step_size=self.tile_step_size, mirror=self.mirror)
             sep = self.slice_separation
             hr_pads = ((pads[0][0] * sep, pads[0][1] * sep),) + pads[1:3]
             return crop(lr_full, pads[:3]), crop(hr_full, hr_pads)
-        pred = predict_sliding_window_labels(
-            self._lr_fn, self.params, vol_p, self.patch_size,
-            slice_separation=1, tile_step_size=self.tile_step_size,
-            mirror=self.mirror, tta_mesh=self.mesh)
+        if self.streaming:
+            pred = predict_sliding_window_labels_streamed(
+                self._lr_fn, self.params, vol_p, self.patch_size,
+                z_slab_tiles=int(self.streaming),
+                tile_step_size=self.tile_step_size, mirror=self.mirror)
+        else:
+            pred = predict_sliding_window_labels(
+                self._lr_fn, self.params, vol_p, self.patch_size,
+                slice_separation=1, tile_step_size=self.tile_step_size,
+                mirror=self.mirror, tta_mesh=self.mesh)
         return crop(pred, pads[:3])
 
     def segment_many(self, volumes_zyx):

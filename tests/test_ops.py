@@ -210,3 +210,69 @@ def test_fba_single_image_identity(rng):
     img = rng.normal(size=(8, 8)).astype(np.float32)
     out = fba([img], p=2)
     assert np.allclose(out, img, atol=1e-5)
+
+
+# ------------------------------------------------ SLR golden/ground-truth
+
+def test_slr_small_tip_matches_fourier_theory():
+    """External ground truth for the SLR toolchain: in the small-tip-angle
+    limit the excitation profile equals the Fourier transform of the RF
+    (Pauly 1991, Sec. II) — Mxy(x) ~ 2*B(e^{i g x}) where B is the beta
+    polynomial on the unit circle. Simulate a 5-degree pulse and compare
+    the Bloch/SLR recursion (abrm) against the direct DTFT of beta."""
+    import numpy as np
+    from rehrseg_tpu.ops import slr
+
+    n, tb = 64, 4.0
+    bsf = np.sin(np.deg2rad(5.0) / 2)          # small flip angle
+    b = bsf * slr.dzls(n, tb, 0.01, 0.01)
+    a = slr.b2a(b)
+    rf = slr.ab2rf(a, b)
+    x = np.linspace(-tb, tb, 101)
+    _, _, mxy = slr.abrm(rf, x)
+
+    g = 2 * np.pi / n
+    # abrm's hard-pulse recursion accrues the phase of sample j at
+    # exponent (j - (n-1)/2) relative to profile center
+    j = np.arange(n) - (n - 1) / 2
+    dtft = (b[None, :] * np.exp(1j * np.outer(x * g, j))).sum(axis=1)
+    np.testing.assert_allclose(np.abs(mxy), 2 * np.abs(dtft),
+                               rtol=0.02, atol=2e-4)
+
+
+def test_slr_unitarity_and_90deg_center():
+    """Exact SLR invariants: the Cayley-Klein simulation is unitary
+    (|a|^2+|b|^2 = 1 pointwise), and the 90-degree excitation profile
+    reaches |Mxy| ~ 1 at slice center (2*|a||b| with |b| = sin(45deg))."""
+    import numpy as np
+    from rehrseg_tpu.ops import slr
+
+    rf = slr.dzrf_ex(n=128, tb=4.0)
+    x = np.linspace(-8.0, 8.0, 257)
+    a, b, mxy = slr.abrm(rf, x)
+    np.testing.assert_allclose(np.abs(a) ** 2 + np.abs(b) ** 2,
+                               np.ones_like(x), atol=1e-9)
+    center = np.abs(mxy)[len(x) // 2]
+    assert abs(center - 1.0) < 0.03, center   # within design ripple
+
+
+def test_slr_kernel_golden_vectors():
+    """Regression pin: the shipped-config slice-profile kernels
+    (4mm->1mm, 3mm->1mm, 2mm->1mm; blur_kernel_ops.py:11-13 window math).
+    Values generated by this implementation and frozen — any change to the
+    SLR designer/profile sampling that moves the kernel shows up here."""
+    import numpy as np
+    from rehrseg_tpu.ops.blur import parse_kernel, blur_fwhm_in_voxels
+
+    golden = {
+        (4.0, 1.0): [0.0, 0.00229319, 0.11364936, 0.25568581, 0.25674325,
+                     0.25568581, 0.11364936, 0.00229319, 0.0],
+        (3.0, 1.0): [0.0, 0.00625755, 0.31980735, 0.3478702, 0.31980735,
+                     0.00625755, 0.0],
+        (2.0, 1.0): [0.0, 0.16570732, 0.66858536, 0.16570732, 0.0],
+    }
+    for (thick, tgt), want in golden.items():
+        f = blur_fwhm_in_voxels(tgt, thick)
+        k = parse_kernel(None, "rf-pulse-slr", f)
+        np.testing.assert_allclose(k, np.asarray(want), atol=1e-6)
+        assert abs(k.sum() - 1.0) < 1e-6

@@ -135,3 +135,20 @@ def test_segmenter_with_mesh_matches_single_device(rng):
     # bf16 tie-flip rate
     mismatch = np.mean(single != sharded)
     assert mismatch < 0.02, mismatch
+
+
+def test_segmenter_streaming_matches_whole_volume(rng):
+    """Segmenter(streaming=k) z-slab path == whole-volume path exactly,
+    for both the LR mask and the HR head."""
+    model = SegModel(num_classes=2, upscale=4, arch=SMALL_ARCH)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 4, 16, 16, 1)))
+    whole = Segmenter(model=model, params=params, patch_size=(4, 16, 16),
+                      slice_separation=4, mirror=False)
+    stream = Segmenter(model=model, params=params, patch_size=(4, 16, 16),
+                       slice_separation=4, mirror=False, streaming=2)
+    vol = rng.normal(size=(10, 20, 20)).astype(np.float32)
+    np.testing.assert_array_equal(whole.segment(vol), stream.segment(vol))
+    lr1, hr1 = whole.segment(vol, hr=True)
+    lr2, hr2 = stream.segment(vol, hr=True)
+    np.testing.assert_array_equal(lr1, lr2)
+    np.testing.assert_array_equal(hr1, hr2)

@@ -195,3 +195,32 @@ def test_tiles_per_step_equivalence(rng):
         input_dtype=jnp.float32, tiles_per_step=k) for k in (1, 2, 3)]
     assert np.array_equal(outs[0], outs[1])
     assert np.array_equal(outs[0], outs[2])
+
+
+def test_streamed_dual_matches_single_pass(rng):
+    """Streamed LR+HR z-slab prediction exactly equals the one-pass dual
+    path — including the HR head's sep-scaled z offsets (reference HR
+    semantics: seg_utils.py:273-274, 775-784)."""
+    from rehrseg_tpu.infer.sliding_window import (
+        predict_sliding_window_dual_labels,
+        predict_sliding_window_dual_labels_streamed)
+    from rehrseg_tpu.models import SegModel
+    from tests.test_models import SMALL_ARCH
+
+    model = SegModel(num_classes=2, upscale=4, arch=SMALL_ARCH)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 4, 16, 16, 1)))
+
+    def dual_fn(p, batch):
+        return model.apply(p, batch)
+
+    vol = rng.normal(size=(16, 24, 24, 1)).astype(np.float32)
+    lr1, hr1 = predict_sliding_window_dual_labels(
+        dual_fn, params, vol, (4, 16, 16), slice_separation=4,
+        mirror=False, input_dtype=jnp.float32)
+    assert hr1.shape == (64, 24, 24)
+    for z_slab in (1, 2, 3):
+        lr2, hr2 = predict_sliding_window_dual_labels_streamed(
+            dual_fn, params, vol, (4, 16, 16), slice_separation=4,
+            z_slab_tiles=z_slab, mirror=False, input_dtype=jnp.float32)
+        assert np.array_equal(lr1, lr2), z_slab
+        assert np.array_equal(hr1, hr2), z_slab

@@ -159,3 +159,18 @@ def test_integer_separation_has_no_slice_pad():
     for n in (3, 4, 5, 6, 17, 24):
         assert find_integer_p(n, 4.0) == 0
         assert find_integer_p(n, 2.0) == 0
+
+
+@pytest.mark.parametrize("out_idx", [0, 1])
+def test_flavr_device_volume_parity(out_idx, rng):
+    """The device-resident volume inference (one jit: gather-windowing +
+    lax.map forwards + concat) must equal the host-loop oracle exactly —
+    including the pad-to-batch tail (z=7 -> 6 windows, batch 4 -> pad 2)."""
+    vol = rng.normal(size=(5, 6, 7, 2)).astype(np.float32)
+    host = np.asarray(infer_flavr_volume(_MockFLAVRJax(), {}, vol, SEP,
+                                         out_index=out_idx, batch=4,
+                                         device=False))
+    dev = np.asarray(infer_flavr_volume(_MockFLAVRJax(), {}, vol, SEP,
+                                        out_index=out_idx, batch=4,
+                                        device=True))
+    np.testing.assert_allclose(dev, host, rtol=1e-6, atol=1e-6)
