@@ -93,12 +93,13 @@ def _mesh_axis(mesh, name):
 
 @partial(jax.jit, static_argnames=("model_fn", "patch_size", "out_shape",
                                    "z_scale", "mirror", "num_classes",
-                                   "tta_mesh", "tiles_per_step"))
+                                   "tta_mesh", "tiles_per_step",
+                                   "need_weights"))
 def _sliding_window_scan(model_fn: Callable, params, data: jnp.ndarray,
                          starts: jnp.ndarray, gaussian: jnp.ndarray,
                          patch_size: tuple, out_shape: tuple, z_scale: int,
                          mirror: bool, num_classes: int, tta_mesh=None,
-                         tiles_per_step: int = 1):
+                         tiles_per_step: int = 1, need_weights: bool = True):
     """Jitted tile loop. data: (D, H, W, C); returns (logits, weights).
 
     Multi-chip sharding of ONE volume via ``tta_mesh`` (a Mesh; despite the
@@ -123,6 +124,13 @@ def _sliding_window_scan(model_fn: Callable, params, data: jnp.ndarray,
     to a multiple of k; padded entries carry validity 0 in ``starts``'
     fourth column and contribute NOTHING to the accumulators (a plain
     repeat would double-weight that tile in overlap regions).
+
+    need_weights=False (label-map outputs): skips the weight-accumulator
+    slice/add/update per tile and returns (logits, None). Valid because
+    argmax(logits / weights) == argmax(logits) — the gaussian weight sum
+    is a strictly positive per-voxel scalar (compute_gaussian clamps zeros
+    to the min nonzero value), so the normalization is order-preserving.
+    The probability APIs keep weights.
     """
     pd, ph, pw = patch_size
     od = pd * z_scale
@@ -141,11 +149,13 @@ def _sliding_window_scan(model_fn: Callable, params, data: jnp.ndarray,
         data = shard(data, P(None, spatial_ax))
 
     logits0 = jnp.zeros((*out_shape, num_classes), dtype=jnp.float32)
-    weights0 = jnp.zeros(out_shape, dtype=jnp.float32)
+    weights0 = jnp.zeros(out_shape if need_weights else (1, 1, 1),
+                         dtype=jnp.float32)
     if spatial_ax:
         from jax.sharding import PartitionSpec as P
         logits0 = shard(logits0, P(None, spatial_ax))
-        weights0 = shard(weights0, P(None, spatial_ax))
+        if need_weights:
+            weights0 = shard(weights0, P(None, spatial_ax))
 
     k = int(tiles_per_step)
     n_tta = len(combos)
@@ -173,14 +183,16 @@ def _sliding_window_scan(model_fn: Callable, params, data: jnp.ndarray,
                                     (od, ph, pw, num_classes))
             logits_buf = lax.dynamic_update_slice(logits_buf, cur + pred,
                                                   (zo, sy, sz, 0))
-            curw = lax.dynamic_slice(weight_buf, (zo, sy, sz), (od, ph, pw))
-            weight_buf = lax.dynamic_update_slice(weight_buf, curw + g_j,
-                                                  (zo, sy, sz))
+            if need_weights:
+                curw = lax.dynamic_slice(weight_buf, (zo, sy, sz),
+                                         (od, ph, pw))
+                weight_buf = lax.dynamic_update_slice(weight_buf, curw + g_j,
+                                                      (zo, sy, sz))
         return (logits_buf, weight_buf), None
 
     starts_k = starts.reshape(-1, k, starts.shape[-1])
     (logits, weights), _ = lax.scan(tile_step, (logits0, weights0), starts_k)
-    return logits, weights
+    return logits, (weights if need_weights else None)
 
 
 from functools import lru_cache
@@ -218,7 +230,7 @@ def _run_sliding_window(model_fn: Callable, params, data: np.ndarray,
                         patch_size, slice_separation, tile_step_size,
                         use_gaussian, mirror, num_classes,
                         input_dtype=jnp.bfloat16, tta_mesh=None,
-                        tiles_per_step: int = 1):
+                        tiles_per_step: int = 1, need_weights: bool = True):
     """Shared device-side pass; returns (logits, weights) ON DEVICE.
 
     Uploads the volume as bf16 by default — the normalized input easily fits
@@ -237,7 +249,7 @@ def _run_sliding_window(model_fn: Callable, params, data: np.ndarray,
         model_fn, params, dev_data, starts,
         g, patch_size, out_shape, int(slice_separation),
         bool(mirror), int(num_classes), tta_mesh,
-        tiles_per_step=int(tiles_per_step))
+        tiles_per_step=int(tiles_per_step), need_weights=bool(need_weights))
 
 
 def predict_sliding_window_logits(model_fn: Callable, params,
@@ -269,12 +281,13 @@ def predict_sliding_window_logits(model_fn: Callable, params,
 
 
 @partial(jax.jit, static_argnames=("model_fn", "patch_size", "out_shape",
-                                   "z_scale", "mirror", "num_classes"))
+                                   "z_scale", "mirror", "num_classes",
+                                   "need_weights"))
 def _sliding_window_scan_dual(model_fn: Callable, params, data: jnp.ndarray,
                               starts: jnp.ndarray, gaussian_lr: jnp.ndarray,
                               gaussian_hr: jnp.ndarray, patch_size: tuple,
                               out_shape: tuple, z_scale: int, mirror: bool,
-                              num_classes: int):
+                              num_classes: int, need_weights: bool = True):
     """Dual-head tile loop: model_fn returns (lr_pred, hr_pred); both heads
     accumulate in one pass sharing the encoder/decoder compute.
 
@@ -286,11 +299,13 @@ def _sliding_window_scan_dual(model_fn: Callable, params, data: jnp.ndarray,
     combos = _flip_axes_combinations(3) if mirror else [()]
 
     d_lr, h_, w_ = out_shape
+    wshape_lr = (d_lr, h_, w_) if need_weights else (1, 1, 1)
+    wshape_hr = (d_lr * z_scale, h_, w_) if need_weights else (1, 1, 1)
     logits_lr0 = jnp.zeros((d_lr, h_, w_, num_classes), dtype=jnp.float32)
-    weights_lr0 = jnp.zeros((d_lr, h_, w_), dtype=jnp.float32)
+    weights_lr0 = jnp.zeros(wshape_lr, dtype=jnp.float32)
     logits_hr0 = jnp.zeros((d_lr * z_scale, h_, w_, num_classes),
                            dtype=jnp.float32)
-    weights_hr0 = jnp.zeros((d_lr * z_scale, h_, w_), dtype=jnp.float32)
+    weights_hr0 = jnp.zeros(wshape_hr, dtype=jnp.float32)
 
     def tile_step(carry, start):
         llr, wlr, lhr, whr = carry
@@ -305,16 +320,20 @@ def _sliding_window_scan_dual(model_fn: Callable, params, data: jnp.ndarray,
         cur = lax.dynamic_slice(llr, (sx, sy, sz, 0), (pd, ph, pw, num_classes))
         llr = lax.dynamic_update_slice(
             llr, cur + pred_lr * gaussian_lr[..., None], (sx, sy, sz, 0))
-        curw = lax.dynamic_slice(wlr, (sx, sy, sz), (pd, ph, pw))
-        wlr = lax.dynamic_update_slice(wlr, curw + gaussian_lr, (sx, sy, sz))
+        if need_weights:
+            curw = lax.dynamic_slice(wlr, (sx, sy, sz), (pd, ph, pw))
+            wlr = lax.dynamic_update_slice(wlr, curw + gaussian_lr,
+                                           (sx, sy, sz))
 
         zo = sx * z_scale
         cur = lax.dynamic_slice(lhr, (zo, sy, sz, 0),
                                 (od_hr, ph, pw, num_classes))
         lhr = lax.dynamic_update_slice(
             lhr, cur + pred_hr * gaussian_hr[..., None], (zo, sy, sz, 0))
-        curw = lax.dynamic_slice(whr, (zo, sy, sz), (od_hr, ph, pw))
-        whr = lax.dynamic_update_slice(whr, curw + gaussian_hr, (zo, sy, sz))
+        if need_weights:
+            curw = lax.dynamic_slice(whr, (zo, sy, sz), (od_hr, ph, pw))
+            whr = lax.dynamic_update_slice(whr, curw + gaussian_hr,
+                                           (zo, sy, sz))
         return (llr, wlr, lhr, whr), None
 
     carry, _ = lax.scan(tile_step,
@@ -346,16 +365,21 @@ def predict_sliding_window_dual_labels(model_fn: Callable, params,
     out_shape = tuple(data.shape[:3])
     dev_data = jnp.asarray(np.asarray(data, dtype=np.float32),
                            dtype=input_dtype)
-    llr, wlr, lhr, whr = _sliding_window_scan_dual(
+    llr, _, lhr, _ = _sliding_window_scan_dual(
         model_fn, params, dev_data, starts, g_lr, g_hr, patch_size,
-        out_shape, int(slice_separation), bool(mirror), int(num_classes))
-    return (np.asarray(_argmax_uint8(llr, wlr)),
-            np.asarray(_argmax_uint8(lhr, whr)))
+        out_shape, int(slice_separation), bool(mirror), int(num_classes),
+        need_weights=False)
+    return (np.asarray(_argmax_uint8(llr)),
+            np.asarray(_argmax_uint8(lhr)))
 
 
 @partial(jax.jit, static_argnames=())
-def _argmax_uint8(logits, weights):
-    return jnp.argmax(logits / weights[..., None], axis=-1).astype(jnp.uint8)
+def _argmax_uint8(logits, weights=None):
+    """argmax label map; dividing by the (strictly positive) weight sum
+    cannot change the argmax, so label paths skip it entirely."""
+    if weights is not None:
+        logits = logits / weights[..., None]
+    return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
 
 
 def predict_sliding_window_labels_streamed(model_fn: Callable, params,
@@ -385,7 +409,6 @@ def predict_sliding_window_labels_streamed(model_fn: Callable, params,
 
     d, h, w = data.shape[:3]
     logits_host = np.zeros((d, h, w, num_classes), dtype=np.float32)
-    weights_host = np.zeros((d, h, w), dtype=np.float32)
 
     for g0 in range(0, len(z_starts), z_slab_tiles):
         group = z_starts[g0:g0 + z_slab_tiles]
@@ -397,14 +420,13 @@ def predict_sliding_window_labels_streamed(model_fn: Callable, params,
              for sx in x_steps], dtype=np.int32)
         g = _device_gaussian(patch_size, bool(use_gaussian))
         dev_slab = jnp.asarray(np.asarray(slab, np.float32), dtype=input_dtype)
-        logits, weights = _sliding_window_scan(
+        logits, _ = _sliding_window_scan(
             model_fn, params, dev_slab, jnp.asarray(starts), g, patch_size,
-            tuple(slab.shape[:3]), 1, bool(mirror), int(num_classes))
+            tuple(slab.shape[:3]), 1, bool(mirror), int(num_classes),
+            need_weights=False)
         logits_host[z_lo:z_hi] += np.asarray(logits)
-        weights_host[z_lo:z_hi] += np.asarray(weights)
 
-    return np.argmax(logits_host / weights_host[..., None],
-                     axis=-1).astype(np.uint8)
+    return np.argmax(logits_host, axis=-1).astype(np.uint8)
 
 
 def predict_sliding_window_dual_labels_streamed(
@@ -434,9 +456,7 @@ def predict_sliding_window_dual_labels_streamed(
 
     d, h, w = data.shape[:3]
     llr_host = np.zeros((d, h, w, num_classes), dtype=np.float32)
-    wlr_host = np.zeros((d, h, w), dtype=np.float32)
     lhr_host = np.zeros((d * sep, h, w, num_classes), dtype=np.float32)
-    whr_host = np.zeros((d * sep, h, w), dtype=np.float32)
 
     g_lr = _device_gaussian(patch_size, bool(use_gaussian))
     g_hr = _device_gaussian((pd * sep,) + patch_size[1:], bool(use_gaussian))
@@ -451,17 +471,15 @@ def predict_sliding_window_dual_labels_streamed(
              for sx in x_steps], dtype=np.int32)
         dev_slab = jnp.asarray(np.asarray(slab, np.float32),
                                dtype=input_dtype)
-        llr, wlr, lhr, whr = _sliding_window_scan_dual(
+        llr, _, lhr, _ = _sliding_window_scan_dual(
             model_fn, params, dev_slab, jnp.asarray(starts), g_lr, g_hr,
             patch_size, tuple(slab.shape[:3]), sep, bool(mirror),
-            int(num_classes))
+            int(num_classes), need_weights=False)
         llr_host[z_lo:z_hi] += np.asarray(llr)
-        wlr_host[z_lo:z_hi] += np.asarray(wlr)
         lhr_host[z_lo * sep:z_hi * sep] += np.asarray(lhr)
-        whr_host[z_lo * sep:z_hi * sep] += np.asarray(whr)
 
-    return (np.argmax(llr_host / wlr_host[..., None], -1).astype(np.uint8),
-            np.argmax(lhr_host / whr_host[..., None], -1).astype(np.uint8))
+    return (np.argmax(llr_host, -1).astype(np.uint8),
+            np.argmax(lhr_host, -1).astype(np.uint8))
 
 
 def predict_sliding_window_labels_many(model_fn: Callable, params,
@@ -482,11 +500,11 @@ def predict_sliding_window_labels_many(model_fn: Callable, params,
     """
     pending = []
     for data in volumes:
-        logits, weights = _run_sliding_window(
+        logits, _ = _run_sliding_window(
             model_fn, params, data, patch_size, slice_separation,
             tile_step_size, use_gaussian, mirror, num_classes, input_dtype,
-            tiles_per_step=tiles_per_step)
-        pending.append(_argmax_uint8(logits, weights))
+            tiles_per_step=tiles_per_step, need_weights=False)
+        pending.append(_argmax_uint8(logits))
     return [np.asarray(p) for p in pending]
 
 
@@ -508,11 +526,11 @@ def predict_sliding_window_labels(model_fn: Callable, params,
 
     tta_mesh: optional Mesh with a 'data' axis to shard the mirror-TTA batch
     across chips (one flip per device)."""
-    logits, weights = _run_sliding_window(
+    logits, _ = _run_sliding_window(
         model_fn, params, data, patch_size, slice_separation, tile_step_size,
         use_gaussian, mirror, num_classes, input_dtype, tta_mesh,
-        tiles_per_step)
-    return np.asarray(_argmax_uint8(logits, weights))
+        tiles_per_step, need_weights=False)
+    return np.asarray(_argmax_uint8(logits))
 
 
 def evaluate_case_volume(model_fn: Callable, params, volume: np.ndarray,

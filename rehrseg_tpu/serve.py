@@ -129,10 +129,11 @@ class Segmenter:
         prepped = [self._prep(v) for v in volumes_zyx]
         pending = []
         for vol_p, _ in prepped:
-            logits, weights = _run_sliding_window(
+            logits, _ = _run_sliding_window(
                 self._lr_fn, self.params, vol_p, self.patch_size, 1,
-                self.tile_step_size, True, self.mirror, 2)
-            pending.append(_argmax_uint8(logits, weights))
+                self.tile_step_size, True, self.mirror, 2,
+                need_weights=False)
+            pending.append(_argmax_uint8(logits))
         return [crop(np.asarray(p), pads[:3])
                 for p, (_, pads) in zip(pending, prepped)]
 
