@@ -77,10 +77,16 @@ def restore_checkpoint_raw(directory: str, step: int | str | None = None,
         return ckptr.restore(path)
 
 
-def latest_step(directory: str) -> int | None:
+def latest_step(directory: str, name: str = "state") -> int | None:
+    """Latest COMPLETE step. Orbax writes into ``<name>.orbax-checkpoint-tmp``
+    and atomically renames to ``<name>`` on success, so a process killed
+    mid-save (preemption, timeout) leaves a step dir without ``<name>`` —
+    such partial saves must be invisible to resume or the next run crashes
+    restoring them (regression: tests/test_aux.py partial-save test)."""
     if not os.path.isdir(directory):
         return None
-    steps = [int(d) for d in os.listdir(directory) if d.isdigit()]
+    steps = [int(d) for d in os.listdir(directory)
+             if d.isdigit() and os.path.isdir(os.path.join(directory, d, name))]
     return max(steps) if steps else None
 
 

@@ -79,6 +79,18 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     assert np.allclose(restored.params["params"]["w"],
                        np.asarray(params["params"]["w"]))
 
+    # a save interrupted mid-write (preemption/timeout) leaves only the
+    # orbax tmp dir — it must be invisible to resume, and a later complete
+    # step must win over an earlier one even with partial dirs around
+    partial = tmp_path / "ck" / "9" / "state.orbax-checkpoint-tmp"
+    partial.mkdir(parents=True)
+    (partial / "_CHECKPOINT_METADATA").write_text("{}")
+    assert ckpt.latest_step(str(tmp_path / "ck")) == 7
+    assert ckpt.restore_checkpoint(str(tmp_path / "ck"), blank).step == 7
+    empty = tmp_path / "only_partial" / "3" / "state.orbax-checkpoint-tmp"
+    empty.mkdir(parents=True)
+    assert not ckpt.has_checkpoint(str(tmp_path / "only_partial"))
+
 
 def test_torch_import_flavr_values(rng):
     """torch weights land in the right flax slots with correct transposes."""
