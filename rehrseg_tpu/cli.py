@@ -18,6 +18,13 @@ def main():
     if fold is not None and fold != "all":
         fold = int(fold)
 
+    # multi-host: no-op single-process; on a pod (or with
+    # REHRSEG_COORDINATOR/REHRSEG_NUM_PROCESSES/REHRSEG_PROCESS_ID set)
+    # initializes jax.distributed BEFORE any backend use so jax.devices()
+    # is the global list and training shards batches per host
+    from .parallel.distributed import init_distributed
+    init_distributed()
+
     from .utils.compilation_cache import enable_compilation_cache
     enable_compilation_cache()
 

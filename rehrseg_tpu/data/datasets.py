@@ -45,10 +45,16 @@ class SRPatchDataset:
     def __init__(self, image_path, split_subjects, slice_thickness,
                  target_thickness, blur_kernel_file, blur_kernel_name,
                  patch_size, random_flip, preload=True, blur=True,
-                 nnunet_transform=False, seed=0, device_lr_sim=False):
+                 nnunet_transform=False, seed=0, device_lr_sim=False,
+                 channels=2):
         if len(patch_size) == 2:
             patch_size = (*patch_size, 1)
         self.patch_size = tuple(patch_size)
+        # channels=1: sr_mode='img' single-channel SR (image only, no label
+        # channel — reference inference_smore sr_mode, sr_utils.py:42-43);
+        # the RNG stream is IDENTICAL to the 2-channel path (the slice
+        # happens at return), so 'img' and 'img+seg' runs stay comparable
+        self.channels = int(channels)
         self.random_flip = random_flip
         self.blur = blur
         self.device_lr_sim = device_lr_sim
@@ -206,10 +212,12 @@ class SRPatchDataset:
         if self.patch_size[2] == 1:
             img_hr_p = img_hr_p[:, :, 0] if img_hr_p.shape[2] == 1 else img_hr_p[:, :, :, 0]
             img_lr_p = img_lr_p[:, :, 0] if img_lr_p.shape[2] == 1 else img_lr_p[:, :, :, 0]
-            return (np.moveaxis(img_lr_p, 0, -1).astype(np.float32),
-                    np.moveaxis(img_hr_p, 0, -1).astype(np.float32))
-        return (np.moveaxis(img_lr_p, 0, -1).astype(np.float32),
-                np.moveaxis(img_hr_p, 0, -1).astype(np.float32))
+        lr_out = np.moveaxis(img_lr_p, 0, -1).astype(np.float32)
+        hr_out = np.moveaxis(img_hr_p, 0, -1).astype(np.float32)
+        if self.channels == 1:
+            lr_out = lr_out[..., :1]
+            hr_out = hr_out[..., :1]
+        return lr_out, hr_out
 
 
 class SegSRDataset:
@@ -326,16 +334,44 @@ class SegSRDataset:
 
 
 class BatchLoader:
-    """Minimal batching iterator over a dataset's `sample()`."""
+    """Minimal batching iterator over a dataset's `sample()`.
 
-    def __init__(self, dataset, batch_size: int, seed: int = 0):
+    shard=(index, count): multi-host data parallelism. `batch_size` stays
+    the GLOBAL batch; every host draws the same per-sample child seeds from
+    the shared seeded stream (so the global batch is deterministic across
+    the pod) but materializes ONLY its contiguous slice — disjoint by
+    construction, matching `parallel.distributed.local_batch_slice`. With
+    shard=None the original single-host RNG stream is byte-identical to
+    previous releases (samples draw directly from `self.rng`).
+    """
+
+    def __init__(self, dataset, batch_size: int, seed: int = 0,
+                 shard: tuple[int, int] | None = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.rng = np.random.default_rng(seed)
+        if shard is not None:
+            index, count = shard
+            if batch_size % count != 0:
+                raise ValueError(
+                    f"global batch {batch_size} not divisible by "
+                    f"{count} processes")
+            if not (0 <= index < count):
+                raise ValueError(f"shard index {index} out of range [0,{count})")
+        self.shard = shard
 
     def next(self):
-        samples = [self.dataset.sample(rng=self.rng)
-                   for _ in range(self.batch_size)]
+        if self.shard is not None:
+            index, count = self.shard
+            per = self.batch_size // count
+            # identical draw on every host -> agreed global batch
+            seeds = self.rng.integers(0, 2 ** 63, size=self.batch_size)
+            local = seeds[index * per:(index + 1) * per]
+            samples = [self.dataset.sample(rng=np.random.default_rng(int(s)))
+                       for s in local]
+        else:
+            samples = [self.dataset.sample(rng=self.rng)
+                       for _ in range(self.batch_size)]
         if isinstance(samples[0], dict):
             return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
         n = len(samples[0])

@@ -150,6 +150,9 @@ def sr_loss(pred, target, alpha: float = 1.0, beta: float = 1.0):
     """Stage-1 loss without uncertainty (train_all.py:132-134):
     L1 on channel 0 (image) + BCEDice on remaining (label) channels."""
     img_l1 = l1_loss(pred[..., 0:1], target[..., 0:1])
+    if pred.shape[-1] == 1:
+        # sr_mode='img' single-channel SR: no label channel to supervise
+        return img_l1
     seg = bce_dice_loss(pred[..., 1:], target[..., 1:], alpha, beta)
     return img_l1 + seg
 

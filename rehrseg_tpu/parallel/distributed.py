@@ -23,10 +23,21 @@ def init_distributed(coordinator_address: str | None = None,
     for single-process runs or when already initialized, so it is safe to
     call unconditionally.
     """
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("REHRSEG_COORDINATOR")
     if num_processes is None:
         num_processes = int(os.environ.get("REHRSEG_NUM_PROCESSES", "1"))
+    if process_id is None and "REHRSEG_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["REHRSEG_PROCESS_ID"])
     if num_processes <= 1 and coordinator_address is None:
         return False
+    try:
+        # CPU backends need the gloo transport for cross-process
+        # collectives (used by the 2-process CI test; TPU pods ignore it)
+        if (os.environ.get("JAX_PLATFORMS") or "").startswith("cpu"):
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:
+        pass
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

@@ -50,6 +50,7 @@ from .infer.sr_infer import (
     infer_wdsr_volume, infer_flavr_volume, postprocess_sr_volume,
     interpolate_pseudo_sr, zeroonenorm255, restore_intensity,
 )
+from .ops.bspline import zoom_axis_np
 from .train import (
     TrainState, onecycle_adam, nesterov_sgd, poly_epoch_schedule,
     make_sr_train_step, make_seg_train_step, SegBatch,
@@ -94,17 +95,26 @@ def merge_images_and_labels(main_dir: str, output_dir: str) -> None:
 
 
 def _train_sr_loop(model, tx, state, loader, step_fn, n_steps, save_iters,
-                   weight_dir, log_every=100, lr_sim_sep=None, sched=None):
+                   weight_dir, log_every=100, lr_sim_sep=None, sched=None,
+                   dp_mesh=None):
     """lr_sim_sep: when set, batches carry pre-resize LR sources and the
     rational downsample runs on device (data.device_sr_sim).
+
+    dp_mesh: multi-host DP mesh — state replicates globally, each step's
+    per-host batch slice assembles into a global array sharded over 'data'
+    (parallel.multihost); None on single-host.
 
     Loss/lr/step-time land in <weight_dir>/metrics.jsonl via MetricsLogger.
     The loader is closed on exit (including on error)."""
     if lr_sim_sep is not None:
         from .data.device_sr_sim import simulate_lr_batch
     import time as _time
+    from .parallel import multihost as _mh
     mlog = MetricsLogger(weight_dir)
     sim_key = jax.random.key(17)
+    if dp_mesh is not None:
+        state = _mh.replicate_global(state, dp_mesh)
+        sim_key = _mh.globalize_key(sim_key, dp_mesh)
     start_it = int(state.step)
     last_log_it, last_log_t = start_it, _time.perf_counter()
     guard = PreemptionGuard()
@@ -115,6 +125,8 @@ def _train_sr_loop(model, tx, state, loader, step_fn, n_steps, save_iters,
                 ckpt.save_checkpoint(weight_dir, state)
                 raise TrainingPreempted(int(state.step))
             lr_b, hr_b = loader.next()
+            if dp_mesh is not None:
+                lr_b, hr_b = _mh.globalize_batch((lr_b, hr_b), dp_mesh)
             lr_b = jnp.asarray(lr_b)
             if lr_sim_sep is not None:
                 sim_key, sub = jax.random.split(sim_key)
@@ -262,6 +274,21 @@ class Pipeline:
         # reference-parity fp32 step
         self.precision = str(ex.get("precision", "bf16"))
 
+        # multi-host DP (TPU pods): after cli's init_distributed() the
+        # device list spans hosts; batches shard per host (BatchLoader
+        # shard= + multihost.globalize_batch), params replicate globally,
+        # and XLA all-reduces grads over ICI/DCN inside the same jitted
+        # step. Single-process: mesh is None and everything below no-ops.
+        from .parallel import multihost as _mh
+        self._mh = _mh
+        self.data_shard = _mh.data_shard()
+        self.dp_mesh = None
+        if _mh.is_multihost():
+            from .parallel import make_mesh
+            self.dp_mesh = make_mesh()
+            print(f"multi-host DP: {jax.process_count()} processes, "
+                  f"{len(jax.devices())} global devices")
+
     # ------------------------------------------------------------ stage 0
 
     def split_subjects(self):
@@ -305,11 +332,16 @@ class Pipeline:
                          image_x_rgb=fx, image_y_rgb=fy)
             return
 
-        model = WDSR(out_channel=2, n_resblocks=self.wdsr_blocks,
+        # sr_mode (reference inference_smore, sr_utils.py:33-97): 'img+seg'
+        # (pipeline default, train_all.py:313) SRs the 2-channel image+label
+        # stack; 'img' is the single-channel image-only mode
+        sr_mode = str((c.extra or {}).get("sr_mode", "img+seg"))
+        n_ch = 1 if sr_mode == "img" else 2
+        model = WDSR(out_channel=n_ch, n_resblocks=self.wdsr_blocks,
                      num_channels=self.wdsr_channels, scale=sep)
         lr_patch = [c.patch_size, c.patch_size]
         patch_size = model.calc_out_patch_size(lr_patch)
-        x0 = jnp.zeros((1, lr_patch[0], lr_patch[1], 2))
+        x0 = jnp.zeros((1, lr_patch[0], lr_patch[1], n_ch))
         params = model.init(jax.random.key(0), x0)
 
         n_steps = int(np.ceil(c.n_patches / c.batch_size_sr))
@@ -325,17 +357,20 @@ class Pipeline:
                                 c.slice_thickness, c.target_thickness, None,
                                 c.blur_kernel, patch_size, c.random_flip,
                                 blur=True, nnunet_transform=False,
-                                device_lr_sim=dev_sim)
-            loader = PrefetchLoader(BatchLoader(ds, c.batch_size_sr))
+                                device_lr_sim=dev_sim, channels=n_ch)
+            loader = PrefetchLoader(BatchLoader(ds, c.batch_size_sr,
+                                                shard=self.data_shard))
             step_fn = make_sr_train_step(model, tx, enable_uncertainty=False,
                                          slice_separation=sep, num_slices=1,
                                          precision=self.precision)
             state = _train_sr_loop(model, tx, state, loader, step_fn, n_steps,
                                    c.save_iters_sr, self.smore_ckpt,
                                    lr_sim_sep=sep if dev_sim else None,
-                                   sched=sched_sr)
+                                   sched=sched_sr, dp_mesh=self.dp_mesh)
 
         print("INFERENCE NETWORK SMORE")
+        smore_out = os.path.join(c.tmp_path, "smore_output")
+        os.makedirs(smore_out, exist_ok=True)
         for subject in sorted(os.listdir(self.merge_data_path)):
             h5_path = os.path.join(self.sr_h5_path, subject + ".h5")
             if os.path.exists(h5_path):
@@ -343,14 +378,50 @@ class Pipeline:
             image, _, _, blur_fwhm, *_ = parse_image(
                 os.path.join(self.merge_data_path, subject),
                 c.slice_thickness, c.target_thickness)
-            sr = infer_wdsr_volume(model, state.params,
-                                   image.astype(np.float32), sep)
+            sr = infer_wdsr_volume(
+                model, state.params,
+                image[..., :n_ch].astype(np.float32), sep)
             img_hr = sr[..., 0]
-            label_hr = (sr[..., 1] > 0).astype(np.uint8)
+            if n_ch == 2:
+                label_hr = (sr[..., 1] > 0).astype(np.uint8)
+            else:
+                # 'img' mode has no SR'd label channel; nearest-interpolate
+                # the merged label so the stage-2 h5 store stays complete
+                # (the reference pipeline never runs 'img', train_all.py:313)
+                label_hr = zoom_axis_np(image[..., 1] if image.shape[-1] > 1
+                                        else np.zeros_like(image[..., 0]),
+                                        sep, axis=2, order=0).astype(np.uint8)
+                if label_hr.shape[2] < img_hr.shape[2]:
+                    label_hr = np.pad(
+                        label_hr, ((0, 0), (0, 0),
+                                   (0, img_hr.shape[2] - label_hr.shape[2])),
+                        mode="edge")
+                label_hr = label_hr[:, :, :img_hr.shape[2]]
+            # per-subject SMORE NIfTI artifacts (inference_smore's surface,
+            # sr_utils.py:77-101): _img always, _seg when sr_mode has 'seg'
+            self._write_sr_niftis(smore_out, subject, img_hr,
+                                  label_hr if "seg" in sr_mode else None, sep)
             fx, fy = postprocess_sr_volume(img_hr, blur_fwhm, c.blur_kernel)
             write_h5(h5_path, img_hr=img_hr[..., None],
                      label_hr=label_hr[..., None],
                      image_x_rgb=fx, image_y_rgb=fy)
+
+    def _write_sr_niftis(self, out_dir, subject, img_hr_xyz, label_hr_xyz,
+                         sep):
+        """Per-subject SR NIfTIs at HR z-spacing with the source geometry
+        (inference_smore, sr_utils.py:77-101)."""
+        ref = nifti.read_image_itk(os.path.join(self.cfg.data_path, subject))
+        hr_spacing = (ref.spacing[0], ref.spacing[1], ref.spacing[2] / sep)
+        base = os.path.join(out_dir, subject)
+        nifti.write_image_itk(
+            nifti.ItkLikeImage(img_hr_xyz.transpose(2, 1, 0).astype(
+                np.float32), hr_spacing, ref.origin, ref.direction),
+            base.replace(".nii.gz", "_img.nii.gz"))
+        if label_hr_xyz is not None:
+            nifti.write_image_itk(
+                nifti.ItkLikeImage(label_hr_xyz.transpose(2, 1, 0), hr_spacing,
+                                   ref.origin, ref.direction),
+                base.replace(".nii.gz", "_seg.nii.gz"))
 
     # ------------------------------------------------------------ stage 1b/1c
 
@@ -370,7 +441,7 @@ class Pipeline:
                             c.blur_kernel, patch_size, c.random_flip,
                             blur=True, nnunet_transform=c.nnunet_transform,
                             device_lr_sim=dev_sim)
-        return BatchLoader(ds, c.batch_size_sr)
+        return BatchLoader(ds, c.batch_size_sr, shard=self.data_shard)
 
     def stage1b_flavr(self):
         c = self.cfg
@@ -400,7 +471,7 @@ class Pipeline:
             state = _train_sr_loop(model, tx, state, loader, step_fn, n_steps,
                                    c.save_iters_sr, self.flavr_ckpt,
                                    lr_sim_sep=sep if dev_sim else None,
-                                   sched=sched_sr)
+                                   sched=sched_sr, dp_mesh=self.dp_mesh)
 
         print("INFERENCE NETWORK FLAVR")
         self._flavr_inference(model, state.params, uncertainty=False)
@@ -519,7 +590,7 @@ class Pipeline:
             state = _train_sr_loop(model, tx, state, loader, step_fn, n_steps,
                                    c.save_iters_sr, self.flavr_unc_ckpt,
                                    lr_sim_sep=sep if dev_sim else None,
-                                   sched=sched_sr)
+                                   sched=sched_sr, dp_mesh=self.dp_mesh)
         print("INFERENCE NETWORK FLAVR WITH UNCERTAINTY")
         self._flavr_inference(model, state.params, uncertainty=True)
         return model, state
@@ -649,7 +720,8 @@ class Pipeline:
                           c.slice_thickness, c.target_thickness, patch_ori,
                           patch_xyz, c.random_flip, c.enable_uncertainty,
                           device_augment=device_augment)
-        loader = PrefetchLoader(BatchLoader(ds, c.batch_size_segsr))
+        loader = PrefetchLoader(BatchLoader(ds, c.batch_size_segsr,
+                                            shard=self.data_shard))
         aug_fn = None
         if device_augment:
             from .data.device_aug import augment_seg_batch
@@ -680,6 +752,15 @@ class Pipeline:
             precision=self.precision)
 
         total_steps = c.epochs * iters_per_epoch
+        if self.dp_mesh is not None:
+            # multi-host DP: replicate state + frozen teacher globally; each
+            # host's batch slice is assembled into a global sharded array in
+            # the loop below (grads all-reduce inside the jitted step)
+            state = self._mh.replicate_global(state, self.dp_mesh)
+            if flavr_params is not None:
+                flavr_params = self._mh.replicate_global(
+                    flavr_params, self.dp_mesh)
+            aug_key = self._mh.globalize_key(aug_key, self.dp_mesh)
         best_dice = 0.0
         mlog = MetricsLogger(self.segsr_ckpt)
         timer = StepTimer()
@@ -699,6 +780,8 @@ class Pipeline:
                   raise TrainingPreempted(int(state.step))
               timer.start()
               b = loader.next()
+              if self.dp_mesh is not None:
+                  b = self._mh.globalize_batch(b, self.dp_mesh)
               if aug_fn is not None:
                   aug_key, sub = jax.random.split(aug_key)
                   img_a, llr_a, lhr_a, unc_a = aug_fn(

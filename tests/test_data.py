@@ -126,6 +126,34 @@ def test_sr_dataset_wdsr_mode(tmp_path, rng):
     assert set(np.unique(hr[..., 1])).issubset({0.0, 1.0})
 
 
+def test_sr_dataset_single_channel_mode(tmp_path, rng):
+    """channels=1 (sr_mode='img', sr_utils.py:42-43): image-only pairs with
+    the SAME content as channel 0 of the 2-channel stream (shared RNG)."""
+    _make_subject_nifti(str(tmp_path / "sub1_0000.nii.gz"), rng)
+    kw = dict(random_flip=True, blur=True, nnunet_transform=False)
+    ds1 = SRPatchDataset(str(tmp_path), ["sub1"], 4.0, 1.0, None,
+                         "rf-pulse-slr", (16, 16), channels=1, **kw)
+    ds2 = SRPatchDataset(str(tmp_path), ["sub1"], 4.0, 1.0, None,
+                         "rf-pulse-slr", (16, 16), channels=2, **kw)
+    r1 = np.random.default_rng(5)
+    r2 = np.random.default_rng(5)
+    lr1, hr1 = ds1.sample(0, rng=r1)
+    lr2, hr2 = ds2.sample(0, rng=r2)
+    assert hr1.shape == (16, 16, 1) and lr1.shape == (4, 16, 1)
+    np.testing.assert_array_equal(hr1, hr2[..., :1])
+    np.testing.assert_array_equal(lr1, lr2[..., :1])
+
+
+def test_sr_loss_single_channel():
+    """sr_mode='img' training: L1 only, finite (no empty-channel BCEDice)."""
+    import jax.numpy as jnp
+    from rehrseg_tpu.losses import sr_loss
+    pred = jnp.ones((2, 8, 8, 1)) * 0.5
+    target = jnp.zeros((2, 8, 8, 1))
+    loss = float(sr_loss(pred, target))
+    assert np.isfinite(loss) and loss == pytest.approx(0.5)
+
+
 def test_sr_dataset_flavr_mode(tmp_path, rng):
     """3D patches: (D, H, W, C) with D_hr = 16, D_lr = 4."""
     _make_subject_nifti(str(tmp_path / "sub1_0000.nii.gz"), rng,

@@ -113,6 +113,40 @@ def test_stage1a_smore_path(synthetic_dataset):
         assert f["label_hr"].shape[2] == 32
         assert set(np.unique(f["label_hr"][:])).issubset({0, 1})
         assert f["image_x_rgb"].shape[0] == 32  # (z, 1, x, y)
+    # per-subject SMORE NIfTI artifacts (inference_smore surface,
+    # sr_utils.py:77-101): _img fp32 + _seg uint8 at HR z-spacing
+    from rehrseg_tpu.io import nifti
+    smore_out = os.path.join(cfg.tmp_path, "smore_output")
+    img = nifti.read_image_itk(
+        os.path.join(smore_out, "sub1_0000_img.nii.gz"))
+    seg = nifti.read_image_itk(
+        os.path.join(smore_out, "sub1_0000_seg.nii.gz"))
+    assert img.array.shape[0] == 32 and seg.array.shape[0] == 32
+    assert img.spacing[2] == pytest.approx(4.0 / 4)
+    assert set(np.unique(seg.array)).issubset({0, 1})
+
+
+@pytest.mark.slow
+def test_stage1a_smore_img_mode(synthetic_dataset):
+    """sr_mode='img': single-channel WDSR (sr_utils.py:42-43); only the
+    _img NIfTI is written and the h5 label falls back to nearest zoom."""
+    cfg = _tiny_config(synthetic_dataset)
+    cfg.smore_initialization = True
+    cfg.extra["sr_mode"] = "img"
+    pipe = Pipeline(cfg)
+    pipe.preprocess()
+    pipe.stage1a_smore()
+    import h5py
+    smore_out = os.path.join(cfg.tmp_path, "smore_output")
+    assert os.path.exists(
+        os.path.join(smore_out, "sub1_0000_img.nii.gz"))
+    assert not os.path.exists(
+        os.path.join(smore_out, "sub1_0000_seg.nii.gz"))
+    with h5py.File(os.path.join(pipe.sr_h5_path,
+                                "sub1_0000.nii.gz.h5")) as f:
+        assert f["img_hr"].shape[2] == 32
+        assert f["label_hr"].shape[2] == 32
+        assert set(np.unique(f["label_hr"][:])).issubset({0, 1})
 
 
 @pytest.mark.slow
