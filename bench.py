@@ -1,10 +1,17 @@
-"""Benchmark: sliding-window segmentation voxel throughput on one TPU chip.
+"""Benchmark: SR + seg voxel throughput on one TPU chip.
 
-Measures the reference's north-star hot path (SURVEY.md §3.3 /
-BASELINE.json): gaussian-weighted sliding-window inference of the nnUNet-
-style SegModel over a full 3D MRI volume with 8-way mirror TTA, tile step
-0.5 — the configuration at reference seg_utils.py:736-784 (patch
-[14, 320, 384], volume ~(20, 455, 633)).
+Measures the full north star (BASELINE.json: "SR+seg voxels/sec/chip"):
+
+  value/vs_baseline — the headline seg engine (gaussian-weighted
+    sliding-window inference of the nnUNet-style SegModel with 8-way
+    mirror TTA, tile step 0.5; reference seg_utils.py:736-784, patch
+    [14, 320, 384], volume ~(20, 455, 633)) — comparable across rounds;
+  sr_* — stage-1 FLAVR volume SR (HR voxels/sec/chip, device-resident
+    engine, sr_utils.py:98-175 geometry);
+  dual_* — the one-pass LR+HR dual-head engine (replaces the reference's
+    two full sliding-window passes);
+  sr_plus_seg_voxps — serial composite: one new subject through SR then
+    the dual seg engine (HR voxels / (t_sr + t_dual)).
 
 The eval path runs the space-to-depth PACKED forward
 (models/segnet_packed.py) — mathematically identical to SegModel.apply
@@ -47,6 +54,8 @@ enable_compilation_cache()
 # guarantees to be stride-divisible).
 PATCH = (16, 320, 384)
 VOLUME = (20, 455, 633)      # reference example volume (seg_utils.py:757)
+SR_VOLUME = (455, 633, 20)   # same geometry as (x, y, thin-z) for stage-1 SR
+SR_BATCH = 2                 # FLAVR windows per lax.map chunk (HBM-bound)
 TILE_STEP = 0.5
 MIRROR = True
 COMPUTE_DTYPE = jnp.bfloat16
@@ -69,6 +78,126 @@ def _measure_chip_peak() -> float:
     np.asarray(out.ravel()[0])
     dt = (time.perf_counter() - t0) / 16
     return 2 * 8192 * 4096 * 4096 / dt / 1e12
+
+
+def _flops_of(fn, *args, compiled: bool = True) -> float:
+    """Parity FLOPs of fn. compiled=False analyzes the lowered (pre-backend)
+    HLO — use when the UNPACKED oracle doesn't fit HBM (the analysis is the
+    point, not the executable)."""
+    try:
+        lowered = jax.jit(fn).lower(*args)
+        analysis = (lowered.compile() if compiled else lowered).cost_analysis()
+        return float(analysis.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def bench_flavr_sr(peak: float) -> dict:
+    """Stage-1 FLAVR volume SR throughput (HR voxels/sec/chip) at reference
+    geometry: LR volume (455, 633, 20) in-plane x thin-z, x4 through-plane
+    (sr_utils.py:98-175). Device-resident engine (volume uploads once,
+    windowing + all forwards in one jit, infer/sr_infer.py), bf16 compute.
+
+    The device->host fetch of the HR volume (~90 MB) is reported separately
+    (sr_fetch_s): on this tunneled bench host it is pure measurement
+    artifact (~0.02 GB/s link; any real TPU VM moves it over local PCIe).
+    """
+    from rehrseg_tpu.models import UNet3D
+    from rehrseg_tpu.infer.sr_infer import (
+        _cached_volume_forward, _pad_z_for_rational_sr)
+
+    model = UNet3D(img_channels=2, n_inputs=4, n_outputs=4,
+                   use_uncertainty=True)
+    x0 = jnp.zeros((1, 4, 96, 96, 2), jnp.float32)
+    params = jax.jit(model.init)(jax.random.key(1), x0)
+
+    rng = np.random.default_rng(2)
+    x, y, z = SR_VOLUME
+    vol = rng.normal(size=(x, y, z, 2)).astype(np.float32)
+
+    # mirror infer_flavr_volume's prep to time the device-resident part
+    volp, _ = _pad_z_for_rational_sr(vol, 4.0)
+    vol_zhw = volp.transpose(2, 0, 1, 3)
+    vol_zhw = np.pad(vol_zhw, ((0, 0), (0, (-x) % 16), (0, (-y) % 16),
+                               (0, 0)))
+    fwd = _cached_volume_forward(model, 0, SR_BATCH,
+                                 compute_dtype=COMPUTE_DTYPE)
+    dev_vol = jnp.asarray(vol_zhw)
+    out = fwd(params, dev_vol)          # compile + warmup
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = fwd(params, dev_vol)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    hr_voxels = x * y * out.shape[0]
+    t0 = time.perf_counter()
+    np.asarray(out)                      # tunnel fetch (artifact here)
+    fetch_s = time.perf_counter() - t0
+
+    res = {"sr_voxps": round(hr_voxels / dt, 1)}
+    # FLOPs = one window-chunk forward x n_chunks (cost_analysis counts a
+    # lax.map/scan body ONCE, so analyzing the whole volume fn undercounts
+    # by the trip count)
+    n_windows = vol_zhw.shape[0] - 1
+    n_chunks = -(-n_windows // SR_BATCH)
+    chunk0 = jnp.zeros((SR_BATCH, 4, *vol_zhw.shape[1:3], 2), COMPUTE_DTYPE)
+    pbf = jax.tree.map(lambda t: t.astype(COMPUTE_DTYPE)
+                       if jnp.issubdtype(t.dtype, jnp.inexact) else t, params)
+    flops = _flops_of(lambda p, c: model.apply(p, c)[0], pbf, chunk0)
+    flops *= n_chunks
+    if flops > 0:
+        res["sr_eq_tflops"] = round(flops / dt / 1e12, 1)
+        if peak:
+            res["sr_mfu_vs_chip_peak"] = round(flops / dt / 1e12 / peak, 3)
+    res["sr_fetch_s"] = round(fetch_s, 2)
+    res["_sr_seconds_per_volume"] = dt
+    return res
+
+
+def bench_dual_engine(model, arch, params, peak: float) -> dict:
+    """One-pass LR+HR sliding-window engine (the serving configuration that
+    replaces the reference's TWO full sliding-window passes,
+    seg_utils.py:753+775). Reports combined LR+HR voxels/sec/chip."""
+    from rehrseg_tpu.models.segnet_packed import segmodel_apply_packed
+    from rehrseg_tpu.infer.sliding_window import (
+        predict_sliding_window_dual_labels)
+    from rehrseg_tpu.utils.pad import target_pad
+
+    def dual_fn(p, batch):
+        return segmodel_apply_packed(arch, p, batch.astype(COMPUTE_DTYPE),
+                                     pack_max_channels=64, dual=True,
+                                     upscale=4)
+
+    rng = np.random.default_rng(3)
+    vol = rng.normal(size=VOLUME).astype(np.float32)[..., None]
+    target_shape = [max(s, p) for s, p in zip(vol.shape[:3], PATCH)] + [1]
+    vol_p, _ = target_pad(vol, target_shape, mode="constant")
+
+    kw = dict(slice_separation=4, tile_step_size=TILE_STEP,
+              use_gaussian=True, mirror=MIRROR, num_classes=2)
+    predict_sliding_window_dual_labels(dual_fn, params, vol_p, PATCH, **kw)
+    t0 = time.perf_counter()
+    lr_lab, hr_lab = predict_sliding_window_dual_labels(
+        dual_fn, params, vol_p, PATCH, **kw)
+    dt = time.perf_counter() - t0
+    voxels = int(np.prod(lr_lab.shape) + np.prod(hr_lab.shape))
+    res = {"dual_voxps": round(voxels / dt, 1)}
+
+    from rehrseg_tpu.infer.sliding_window import sliding_window_starts
+    n_tta = 8 if MIRROR else 1
+    n_tiles = len(sliding_window_starts(vol_p.shape[:3], PATCH, TILE_STEP))
+    # parity FLOPs from the UNPACKED dual forward at batch 1 (batch 8
+    # doesn't fit HBM, docs/BENCHMARKS.md) scaled by the TTA batch —
+    # conv FLOPs are linear in batch
+    batch0 = jnp.zeros((1, *PATCH, 1), COMPUTE_DTYPE)
+    flops = _flops_of(lambda p, b: model.apply(p, b), params, batch0) * n_tta
+    if flops > 0:
+        eq = flops * n_tiles / dt / 1e12
+        res["dual_eq_tflops"] = round(eq, 1)
+        if peak:
+            res["dual_mfu_vs_chip_peak"] = round(eq / peak, 3)
+    res["_dual_seconds_per_volume"] = dt
+    return res
 
 
 def main():
@@ -147,12 +276,62 @@ def main():
     else:
         vs_baseline = 0.0
 
+    # device-resident engine (volume pre-uploaded, result consumed on
+    # device): the chip-side signal. On this tunneled bench host the
+    # host<->device copies SERIALIZE with compute (~0.3 s upload + ~0.1 s
+    # fetch per volume measured in experiments/engine_tail.py); a real TPU
+    # VM overlaps them over PCIe, so the device number is what transfers
+    # can't pollute.
+    from rehrseg_tpu.infer.sliding_window import (
+        _sliding_window_scan, _device_gaussian, _device_starts,
+        _argmax_uint8)
+    g_dev = _device_gaussian(PATCH, True)
+    starts_dev = _device_starts(tuple(vol_p.shape[:3]), PATCH, TILE_STEP, 1)
+    dev_vol = jnp.asarray(vol_p.astype(np.float32), COMPUTE_DTYPE)
+    consume = jax.jit(lambda lab: lab.astype(jnp.int32).sum())
+
+    def run_dev():
+        lg, _ = _sliding_window_scan(
+            lr_fn, params, dev_vol, starts_dev, g_dev, PATCH,
+            tuple(vol_p.shape[:3]), 1, MIRROR, 2, need_weights=False)
+        return float(consume(_argmax_uint8(lg)))
+
+    run_dev()
+    dev_times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        run_dev()
+        dev_times.append(time.perf_counter() - t0)
+    dt_dev = min(dev_times)
+    dev_extra = {"seg_device_voxps": round(voxels / dt_dev, 1)}
+    if flops_fwd > 0:
+        eq_dev = flops_fwd * n_tiles / dt_dev / 1e12
+        dev_extra["seg_device_eq_tflops"] = round(eq_dev, 1)
+        if peak:
+            dev_extra["seg_device_mfu_vs_chip_peak"] = round(eq_dev / peak, 3)
+
+    # the full north star is "SR+seg voxels/sec/chip" (BASELINE.json):
+    # stage-1 FLAVR volume SR + the one-pass dual LR+HR seg engine, plus
+    # their serial composite (one new subject through SR then seg)
+    sr = bench_flavr_sr(peak)
+    dual = bench_dual_engine(model, arch, params, peak)
+    t_sr = sr.pop("_sr_seconds_per_volume")
+    t_dual = dual.pop("_dual_seconds_per_volume")
+    hr_voxels = VOLUME[0] * 4 * VOLUME[1] * VOLUME[2]
+    composite = {
+        "sr_plus_seg_voxps": round(hr_voxels / (t_sr + t_dual), 1),
+    }
+
     print(json.dumps({
         "metric": "segmodel_sliding_window_voxel_throughput",
         "value": round(voxps, 1),
         "unit": "voxels/sec/chip",
         "vs_baseline": round(vs_baseline, 3),
         **extra,
+        **dev_extra,
+        **sr,
+        **dual,
+        **composite,
     }))
 
 

@@ -151,7 +151,8 @@ def _cached_volume_forward(model, out_index: int, batch: int,
 
 def infer_flavr_volume(model, params, volume: np.ndarray,
                        slice_separation: float, out_index: int | None = None,
-                       batch: int = 8, device: bool = True) -> np.ndarray:
+                       batch: int = 8, device: bool = True,
+                       compute_dtype=None) -> np.ndarray:
     """volume: (x, y, z, c). Returns (x, y, 4*(z_pad-1), c_out) where c_out
     follows the selected model output (0 = SR image+label, 1 = uncertainty).
 
@@ -161,6 +162,10 @@ def infer_flavr_volume(model, params, volume: np.ndarray,
     device=True (default) runs windowing + all forwards device-resident in
     one jit (volume uploads once); device=False is the host-loop oracle
     (identical output, 4x the upload traffic).
+
+    compute_dtype: cast params + volume for the forward (e.g. jnp.bfloat16
+    for serving/bench throughput); None keeps the params' dtype (fp32
+    reference parity).
     """
     vol, n_crop = _pad_z_for_rational_sr(volume, slice_separation)
     x, y, z, c = vol.shape
@@ -174,7 +179,7 @@ def infer_flavr_volume(model, params, volume: np.ndarray,
     if device:
         fwd = _cached_volume_forward(model,
                                      out_index if out_index is not None
-                                     else 0, batch)
+                                     else 0, batch, compute_dtype)
         out = np.asarray(fwd(params, jnp.asarray(vol_zhw)))
         out = out.reshape(z - 1, 4, *out.shape[1:])
     else:
