@@ -196,3 +196,118 @@ def test_wdsr_matches_reference(ref_models, rng):
     np.testing.assert_allclose(got, ref.transpose(0, 2, 3, 1),
                                rtol=1e-4, atol=1e-5)
     assert fm.calc_out_patch_size([24, 20]) == list(ref.shape[2:])
+
+
+@pytest.fixture(scope="module")
+def ref_seg_model():
+    """Import the reference models/seg_model.py (Distiller + KD losses,
+    seg_model.py:60-151) with `dynamic_network_architectures` stubbed —
+    the package isn't installed, but only SegModel's BASE CLASSES come
+    from it; the Distiller is pure torch + einops."""
+    dna = types.ModuleType("dynamic_network_architectures")
+    dna_arch = types.ModuleType("dynamic_network_architectures.architectures")
+    dna_unet = types.ModuleType(
+        "dynamic_network_architectures.architectures.unet")
+    dna_bb = types.ModuleType(
+        "dynamic_network_architectures.building_blocks")
+    dna_dec = types.ModuleType(
+        "dynamic_network_architectures.building_blocks.unet_decoder")
+
+    class PlainConvUNet:  # class-def placeholder; never instantiated
+        pass
+
+    class UNetDecoder:
+        pass
+
+    dna_unet.PlainConvUNet = PlainConvUNet
+    dna_dec.UNetDecoder = UNetDecoder
+    mods = {
+        "dynamic_network_architectures": dna,
+        "dynamic_network_architectures.architectures": dna_arch,
+        "dynamic_network_architectures.architectures.unet": dna_unet,
+        "dynamic_network_architectures.building_blocks": dna_bb,
+        "dynamic_network_architectures.building_blocks.unet_decoder": dna_dec,
+    }
+    saved = {k: sys.modules.get(k) for k in mods}
+    sys.modules.update(mods)
+    sys.path.insert(0, REF)
+    try:
+        import importlib
+        yield importlib.import_module("models.seg_model")
+    finally:
+        sys.path.remove(REF)
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+
+def test_distiller_matches_reference(ref_seg_model, rng):
+    """KD golden parity (C10): our Distiller vs the actual reference
+    Distiller (seg_model.py:115-151) — projection conv weights copied,
+    all three loss terms active, same random features."""
+    import jax
+    import jax.numpy as jnp
+    from rehrseg_tpu.models import Distiller
+
+    b, cs, ct, s, h, w = 2, 16, 24, 3, 8, 8
+    lam = dict(lambda_l1=0.7, lambda_cosine=0.9, lambda_structure=1.3)
+
+    ref = ref_seg_model.Distiller(student_dim=cs, teacher_dim=ct, **lam)
+    ref.eval()
+    fs_t = torch.from_numpy(rng.normal(size=(b, cs, s, h, w)).astype(
+        np.float32))
+    ft_t = torch.from_numpy(rng.normal(size=(b, ct, s, h, w)).astype(
+        np.float32))
+    with torch.no_grad():
+        ref_loss = float(ref(fs_t, ft_t))
+
+    ours = Distiller(student_dim=cs, teacher_dim=ct, **lam)
+    fs = jnp.asarray(fs_t.numpy().transpose(0, 2, 3, 4, 1))  # (b,s,h,w,c)
+    ft = jnp.asarray(ft_t.numpy().transpose(0, 2, 3, 4, 1))
+    params = ours.init(jax.random.key(0), fs, ft)
+    # copy the 1x1x1 projection: torch (out,in,1,1,1) -> flax (1,1,1,in,out)
+    w_t = ref.distill.weight.detach().numpy()
+    b_t = ref.distill.bias.detach().numpy()
+    import flax
+    params = flax.core.unfreeze(params)
+    params["params"]["distill"]["kernel"] = jnp.asarray(
+        w_t.transpose(2, 3, 4, 1, 0))
+    params["params"]["distill"]["bias"] = jnp.asarray(b_t)
+
+    our_loss = float(ours.apply(params, fs, ft))
+    assert our_loss == pytest.approx(ref_loss, rel=1e-4)
+
+
+def test_distiller_loss_terms_match_reference(ref_seg_model, rng):
+    """Each KD term in isolation (structure / smooth-L1 / cosine)."""
+    import jax
+    import jax.numpy as jnp
+    from rehrseg_tpu.models import Distiller
+
+    b, c, s, h, w = 2, 12, 2, 8, 8
+    fs_t = torch.from_numpy(rng.normal(size=(b, c, s, h, w)).astype(
+        np.float32))
+    ft_t = torch.from_numpy(rng.normal(size=(b, c, s, h, w)).astype(
+        np.float32))
+    fs = jnp.asarray(fs_t.numpy().transpose(0, 2, 3, 4, 1))
+    ft = jnp.asarray(ft_t.numpy().transpose(0, 2, 3, 4, 1))
+
+    for lam in (dict(lambda_l1=1.0, lambda_cosine=0.0, lambda_structure=0.0),
+                dict(lambda_l1=0.0, lambda_cosine=1.0, lambda_structure=0.0),
+                dict(lambda_l1=0.0, lambda_cosine=0.0, lambda_structure=1.0)):
+        ref = ref_seg_model.Distiller(student_dim=c, teacher_dim=c, **lam)
+        ref.eval()
+        with torch.no_grad():
+            ref_loss = float(ref(fs_t, ft_t))
+        ours = Distiller(student_dim=c, teacher_dim=c, **lam)
+        params = ours.init(jax.random.key(1), fs, ft)
+        import flax
+        params = flax.core.unfreeze(params)
+        params["params"]["distill"]["kernel"] = jnp.asarray(
+            ref.distill.weight.detach().numpy().transpose(2, 3, 4, 1, 0))
+        params["params"]["distill"]["bias"] = jnp.asarray(
+            ref.distill.bias.detach().numpy())
+        our_loss = float(ours.apply(params, fs, ft))
+        assert our_loss == pytest.approx(ref_loss, rel=1e-4), lam
