@@ -155,6 +155,7 @@ def test_packed_train_step_matches_standard(rng):
                                    rtol=5e-3, atol=1e-5)
 
 
+@pytest.mark.heavy
 def test_packed_remat_exact(rng):
     """remat recomputes — outputs and gradients are identical."""
     model, params, x = _setup(ARCH_SMALL, rng, shape=(1, 8, 32, 48, 1))

@@ -1,6 +1,7 @@
 """nnUNet plans.json -> SegModel arch adapter (reference train_all.py:466-493)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -41,6 +42,7 @@ def test_arch_from_plans_scalars_expand():
     assert arch["norm_eps"] == 1e-5 and arch["nonlin_slope"] == 0.01
 
 
+@pytest.mark.heavy
 def test_plans_arch_builds_and_packs(rng):
     """A plans-derived SegModel runs both forwards at the plans patch and
     the packed path matches."""

@@ -79,6 +79,7 @@ def test_sr_step_bf16_matches_fp32(rng):
     assert rel < 2e-2, rel
 
 
+@pytest.mark.heavy
 def test_seg_step_bf16_matches_fp32_with_kd(rng):
     """Full stage-2 step (dual loss + uncertainty weighting + KD teacher)
     under the bf16 policy vs fp32, packed+remat path."""
@@ -125,6 +126,7 @@ def test_seg_step_bf16_matches_fp32_with_kd(rng):
     assert rel < 5e-2, rel
 
 
+@pytest.mark.heavy
 def test_bf16_uasr_sr_step_finite(rng):
     """The heteroscedastic uncertainty loss divides by the (bf16-produced)
     uncertainty map — must stay finite under the policy."""
