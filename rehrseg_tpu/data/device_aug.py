@@ -186,3 +186,28 @@ def augment_seg_batch(key, img, label_lr, label_hr, uncertainty,
                 unc2[..., None])
 
     return jax.vmap(one)(keys, img, label_lr, label_hr, uncertainty)
+
+
+def augment_sr_hr_batch(key, hr):
+    """Batched device intensity augmentation for stage-1 SR training.
+
+    The reference stage-1 transform is intensity-ONLY on the HR image
+    (train_set.py:259-277 passes enable_spatial=False; 'seg' and 'img_lr'
+    ride through as label keys), so the device port touches just channel 0
+    of the HR target: the full nnUNet intensity chain + the two gamma
+    stages. hr: (B, D, H, W, C>=1); label channels return untouched.
+
+    Same distribution as the host TrainingTransforms path (which remains
+    the parity oracle, nnunet_transform=True without device_augment_sr);
+    per-sample streams come from the JAX key, not the numpy Generator.
+    """
+    def one(sample_key, sample):
+        k0, k1, k2 = jax.random.split(sample_key, 3)
+        im = sample[..., 0]
+        im = _intensity_one(k0, im)
+        im = _gamma_one(k1, im, invert=True, p=0.1)
+        im = _gamma_one(k2, im, invert=False, p=0.3)
+        return jnp.concatenate([im[..., None], sample[..., 1:]], axis=-1)
+
+    keys = jax.random.split(key, hr.shape[0])
+    return jax.vmap(one)(keys, hr)

@@ -96,13 +96,17 @@ def merge_images_and_labels(main_dir: str, output_dir: str) -> None:
 
 def _train_sr_loop(model, tx, state, loader, step_fn, n_steps, save_iters,
                    weight_dir, log_every=100, lr_sim_sep=None, sched=None,
-                   dp_mesh=None):
+                   dp_mesh=None, hr_aug=False):
     """lr_sim_sep: when set, batches carry pre-resize LR sources and the
     rational downsample runs on device (data.device_sr_sim).
 
     dp_mesh: multi-host DP mesh — state replicates globally, each step's
     per-host batch slice assembles into a global array sharded over 'data'
     (parallel.multihost); None on single-host.
+
+    hr_aug: device-side stage-1 intensity augmentation of the HR target
+    image channel (data.device_aug.augment_sr_hr_batch) — replaces the
+    host TrainingTransforms chain when extra.device_augment_sr is set.
 
     Loss/lr/step-time land in <weight_dir>/metrics.jsonl via MetricsLogger.
     The loader is closed on exit (including on error)."""
@@ -112,9 +116,15 @@ def _train_sr_loop(model, tx, state, loader, step_fn, n_steps, save_iters,
     from .parallel import multihost as _mh
     mlog = MetricsLogger(weight_dir)
     sim_key = jax.random.key(17)
+    hr_aug_fn = None
+    aug_key = jax.random.key(23)
+    if hr_aug:
+        from .data.device_aug import augment_sr_hr_batch
+        hr_aug_fn = jax.jit(augment_sr_hr_batch)
     if dp_mesh is not None:
         state = _mh.replicate_global(state, dp_mesh)
         sim_key = _mh.globalize_key(sim_key, dp_mesh)
+        aug_key = _mh.globalize_key(aug_key, dp_mesh)
     start_it = int(state.step)
     last_log_it, last_log_t = start_it, _time.perf_counter()
     guard = PreemptionGuard()
@@ -128,6 +138,9 @@ def _train_sr_loop(model, tx, state, loader, step_fn, n_steps, save_iters,
             if dp_mesh is not None:
                 lr_b, hr_b = _mh.globalize_batch((lr_b, hr_b), dp_mesh)
             lr_b = jnp.asarray(lr_b)
+            if hr_aug_fn is not None:
+                aug_key, sub = jax.random.split(aug_key)
+                hr_b = hr_aug_fn(sub, jnp.asarray(hr_b))
             if lr_sim_sep is not None:
                 sim_key, sub = jax.random.split(sim_key)
                 lr_b = simulate_lr_batch(sub, lr_b, float(lr_sim_sep))
@@ -273,6 +286,9 @@ class Pipeline:
         # docs/BENCHMARKS.md); extra: {precision: fp32} restores the exact
         # reference-parity fp32 step
         self.precision = str(ex.get("precision", "bf16"))
+        # stage-1 intensity augmentation on device (opt-in; the host
+        # TrainingTransforms chain stays the parity oracle)
+        self._sr_device_aug = bool(ex.get("device_augment_sr", False))
 
         # multi-host DP (TPU pods): after cli's init_distributed() the
         # device list spans hosts; batches shard per host (BatchLoader
@@ -436,10 +452,14 @@ class Pipeline:
         dev_sim = bool((c.extra or {}).get("device_lr_sim", False))
         lr_patch = [c.num_slices, c.patch_size, c.patch_size]
         patch_size = model.calc_out_patch_size(lr_patch)
+        # device_augment_sr: run the stage-1 intensity chain on device
+        # (augment_sr_hr_batch in the training loop) instead of the host
+        # TrainingTransforms path
+        host_tf = c.nnunet_transform and not self._sr_device_aug
         ds = SRPatchDataset(self.sr_h5_path, self.split_subjects()[0],
                             c.slice_thickness, c.target_thickness, None,
                             c.blur_kernel, patch_size, c.random_flip,
-                            blur=True, nnunet_transform=c.nnunet_transform,
+                            blur=True, nnunet_transform=host_tf,
                             device_lr_sim=dev_sim)
         return BatchLoader(ds, c.batch_size_sr, shard=self.data_shard)
 
@@ -471,7 +491,8 @@ class Pipeline:
             state = _train_sr_loop(model, tx, state, loader, step_fn, n_steps,
                                    c.save_iters_sr, self.flavr_ckpt,
                                    lr_sim_sep=sep if dev_sim else None,
-                                   sched=sched_sr, dp_mesh=self.dp_mesh)
+                                   sched=sched_sr, dp_mesh=self.dp_mesh,
+                                   hr_aug=self._sr_device_aug)
 
         print("INFERENCE NETWORK FLAVR")
         self._flavr_inference(model, state.params, uncertainty=False)
@@ -590,7 +611,8 @@ class Pipeline:
             state = _train_sr_loop(model, tx, state, loader, step_fn, n_steps,
                                    c.save_iters_sr, self.flavr_unc_ckpt,
                                    lr_sim_sep=sep if dev_sim else None,
-                                   sched=sched_sr, dp_mesh=self.dp_mesh)
+                                   sched=sched_sr, dp_mesh=self.dp_mesh,
+                                   hr_aug=self._sr_device_aug)
         print("INFERENCE NETWORK FLAVR WITH UNCERTAINTY")
         self._flavr_inference(model, state.params, uncertainty=True)
         return model, state

@@ -140,3 +140,27 @@ def test_device_warp_matches_host_spatial_aug(rng):
     assert np.abs(out_d[interior] - dev_d[interior]).max() < 1e-3
     agree = (out_s[0][0, 4:20, 4:20] == dev_s[4:20, 4:20]).mean()
     assert agree > 0.97
+
+
+def test_augment_sr_hr_batch(rng):
+    """Stage-1 device intensity aug (train_set.py:259-277 semantics): only
+    the HR image channel changes; labels ride through untouched; same key
+    -> same output; different keys -> different augmentations somewhere in
+    the batch."""
+    import jax
+    from rehrseg_tpu.data.device_aug import augment_sr_hr_batch
+
+    hr = rng.normal(size=(8, 16, 24, 24, 2)).astype(np.float32)
+    hr[..., 1] = (hr[..., 1] > 0).astype(np.float32)
+    fn = jax.jit(augment_sr_hr_batch)
+    out1 = np.asarray(fn(jax.random.key(3), jnp.asarray(hr)))
+    out2 = np.asarray(fn(jax.random.key(3), jnp.asarray(hr)))
+    out3 = np.asarray(fn(jax.random.key(4), jnp.asarray(hr)))
+
+    assert out1.shape == hr.shape
+    np.testing.assert_array_equal(out1, out2)          # deterministic in key
+    np.testing.assert_array_equal(out1[..., 1], hr[..., 1])  # labels intact
+    # with 8 samples and p(no-op) ~ 0.28 per sample, some must change
+    assert np.abs(out1[..., 0] - hr[..., 0]).max() > 1e-6
+    assert np.abs(out1[..., 0] - out3[..., 0]).max() > 1e-6
+    assert np.isfinite(out1).all()
