@@ -296,31 +296,46 @@ def main():
             tuple(vol_p.shape[:3]), 1, MIRROR, 2, need_weights=False)
         return float(consume(_argmax_uint8(lg)))
 
-    run_dev()
-    dev_times = []
-    for _ in range(2):
-        t0 = time.perf_counter()
+    dev_extra = {}
+    try:
         run_dev()
-        dev_times.append(time.perf_counter() - t0)
-    dt_dev = min(dev_times)
-    dev_extra = {"seg_device_voxps": round(voxels / dt_dev, 1)}
-    if flops_fwd > 0:
-        eq_dev = flops_fwd * n_tiles / dt_dev / 1e12
-        dev_extra["seg_device_eq_tflops"] = round(eq_dev, 1)
-        if peak:
-            dev_extra["seg_device_mfu_vs_chip_peak"] = round(eq_dev / peak, 3)
+        dev_times = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run_dev()
+            dev_times.append(time.perf_counter() - t0)
+        dt_dev = min(dev_times)
+        dev_extra = {"seg_device_voxps": round(voxels / dt_dev, 1)}
+        if flops_fwd > 0:
+            eq_dev = flops_fwd * n_tiles / dt_dev / 1e12
+            dev_extra["seg_device_eq_tflops"] = round(eq_dev, 1)
+            if peak:
+                dev_extra["seg_device_mfu_vs_chip_peak"] = round(
+                    eq_dev / peak, 3)
+    except Exception as e:
+        dev_extra = {"seg_device_error": f"{type(e).__name__}"}
 
     # the full north star is "SR+seg voxels/sec/chip" (BASELINE.json):
     # stage-1 FLAVR volume SR + the one-pass dual LR+HR seg engine, plus
-    # their serial composite (one new subject through SR then seg)
-    sr = bench_flavr_sr(peak)
-    dual = bench_dual_engine(model, arch, params, peak)
-    t_sr = sr.pop("_sr_seconds_per_volume")
-    t_dual = dual.pop("_dual_seconds_per_volume")
-    hr_voxels = VOLUME[0] * 4 * VOLUME[1] * VOLUME[2]
-    composite = {
-        "sr_plus_seg_voxps": round(hr_voxels / (t_sr + t_dual), 1),
-    }
+    # their serial composite (one new subject through SR then seg).
+    # Each section is fault-isolated: a failure (OOM, fresh-compile
+    # timeout pressure) drops its keys but never loses the JSON line.
+    try:
+        sr = bench_flavr_sr(peak)
+        t_sr = sr.pop("_sr_seconds_per_volume")
+    except Exception as e:
+        sr, t_sr = {"sr_error": f"{type(e).__name__}"}, None
+    try:
+        dual = bench_dual_engine(model, arch, params, peak)
+        t_dual = dual.pop("_dual_seconds_per_volume")
+    except Exception as e:
+        dual, t_dual = {"dual_error": f"{type(e).__name__}"}, None
+    composite = {}
+    if t_sr is not None and t_dual is not None:
+        hr_voxels = VOLUME[0] * 4 * VOLUME[1] * VOLUME[2]
+        composite = {
+            "sr_plus_seg_voxps": round(hr_voxels / (t_sr + t_dual), 1),
+        }
 
     print(json.dumps({
         "metric": "segmodel_sliding_window_voxel_throughput",

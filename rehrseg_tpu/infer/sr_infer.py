@@ -181,6 +181,10 @@ def infer_flavr_volume(model, params, volume: np.ndarray,
                                      out_index if out_index is not None
                                      else 0, batch, compute_dtype)
         out = np.asarray(fwd(params, jnp.asarray(vol_zhw)))
+        if out.dtype != np.float32:
+            # bf16 compute: fetch stays half-size; widen on host for the
+            # numpy postprocessing/NIfTI chain
+            out = out.astype(np.float32)
         out = out.reshape(z - 1, 4, *out.shape[1:])
     else:
         windows = flavr_windows(vol_zhw)  # (z-1, 4, H, W, c)

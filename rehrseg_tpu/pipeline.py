@@ -289,6 +289,11 @@ class Pipeline:
         # stage-1 intensity augmentation on device (opt-in; the host
         # TrainingTransforms chain stays the parity oracle)
         self._sr_device_aug = bool(ex.get("device_augment_sr", False))
+        # stage-1 volume-inference compute dtype: fp32 (reference parity,
+        # default) or bf16 (~0.79 MFU device-resident, docs/BENCHMARKS.md;
+        # outputs quantize to bf16 before intensity restore)
+        dt = ex.get("sr_infer_dtype")
+        self._sr_infer_dtype = jnp.bfloat16 if str(dt) == "bf16" else None
 
         # multi-host DP (TPU pods): after cli's init_distributed() the
         # device list spans hosts; batches shard per host (BatchLoader
@@ -517,7 +522,8 @@ class Pipeline:
             if not uncertainty:
                 out = infer_flavr_volume(model, params,
                                          image.astype(np.float32), sep,
-                                         out_index=0)
+                                         out_index=0,
+                                         compute_dtype=self._sr_infer_dtype)
                 out = restore_intensity(out, orig_min, orig_max)
                 img_out = out[..., 0].transpose(2, 1, 0)  # (z, y, x)
                 seg_out = out[..., 1]
@@ -534,7 +540,8 @@ class Pipeline:
             else:
                 out = infer_flavr_volume(model, params,
                                          image.astype(np.float32), sep,
-                                         out_index=1)
+                                         out_index=1,
+                                         compute_dtype=self._sr_infer_dtype)
                 out = restore_intensity(out, orig_min, orig_max)
                 unc_out = out[..., 0].transpose(2, 1, 0)
                 hr_spacing = (spacing[0], spacing[1], spacing[2] / sep)

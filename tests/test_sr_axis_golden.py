@@ -174,3 +174,18 @@ def test_flavr_device_volume_parity(out_idx, rng):
                                         out_index=out_idx, batch=4,
                                         device=True))
     np.testing.assert_allclose(dev, host, rtol=1e-6, atol=1e-6)
+
+
+def test_flavr_device_volume_bf16(rng):
+    """compute_dtype=bf16 (serving/bench + extra.sr_infer_dtype): same
+    routing/shapes, values near the fp32 oracle, fp32 dtype on return."""
+    import jax.numpy as jnp
+    vol = rng.normal(size=(5, 6, 7, 2)).astype(np.float32)
+    ref = np.asarray(infer_flavr_volume(_MockFLAVRJax(), {}, vol, SEP,
+                                        out_index=0, batch=4))
+    out = np.asarray(infer_flavr_volume(_MockFLAVRJax(), {}, vol, SEP,
+                                        out_index=0, batch=4,
+                                        compute_dtype=jnp.bfloat16))
+    assert out.dtype == np.float32
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, rtol=0.05, atol=0.05)
