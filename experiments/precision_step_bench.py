@@ -66,22 +66,26 @@ def bench_stage2():
     params_host = jax.tree.map(np.asarray, jax.jit(model.init)(
         jax.random.key(0), jnp.asarray(img[:1])))
     tx = nesterov_sgd(poly_epoch_schedule(1e-3, 200, 100))
-    for precision in ("fp32", "bf16"):
-        params = jax.tree.map(jnp.asarray, params_host)
-        step = make_seg_train_step(model, tx, enable_uncertainty=True,
-                                   enable_distillation=False, donate=True,
-                                   packed=True, remat=True,
-                                   precision=precision)
-        state = TrainState.create(params, tx)
-        state, m = step(state, None, batch)
-        float(m["loss"])
-        t0 = time.perf_counter()
-        for _ in range(4):
+    for precision, remat in (("fp32", True), ("bf16", True), ("bf16", False)):
+        try:
+            params = jax.tree.map(jnp.asarray, params_host)
+            step = make_seg_train_step(model, tx, enable_uncertainty=True,
+                                       enable_distillation=False, donate=True,
+                                       packed=True, remat=remat,
+                                       precision=precision)
+            state = TrainState.create(params, tx)
             state, m = step(state, None, batch)
-        loss = float(m["loss"])
-        dt = (time.perf_counter() - t0) / 4
-        print(f"stage-2 packed+remat B=2 {precision}: {dt * 1e3:6.1f} ms/step"
-              f"  loss={loss:.4f}", flush=True)
+            float(m["loss"])
+            t0 = time.perf_counter()
+            for _ in range(4):
+                state, m = step(state, None, batch)
+            loss = float(m["loss"])
+            dt = (time.perf_counter() - t0) / 4
+            print(f"stage-2 packed remat={remat} B=2 {precision}: "
+                  f"{dt * 1e3:6.1f} ms/step  loss={loss:.4f}", flush=True)
+        except Exception as e:
+            print(f"stage-2 packed remat={remat} {precision}: FAILED "
+                  f"{type(e).__name__}: {str(e)[:300]}", flush=True)
 
 
 if __name__ == "__main__":
