@@ -47,6 +47,21 @@ class Config:
     # runtime additions (not in the reference schema)
     fold: int | str | None = None  # int, None, or 'all' (fold-parallel)
     uncertainty_steps: int = 20_000  # hard-coded 20000 in train_all.py:448
+    # extra: opt-in keys beyond the reference schema (unknown top-level
+    # YAML keys merge here). Recognized keys:
+    #   precision: 'bf16' (default) | 'fp32'  — training compute policy
+    #   device_augment: bool (default True)   — stage-2 aug on device
+    #   device_augment_sr: bool (default False) — stage-1 intensity aug on
+    #     device (host TrainingTransforms stays the parity oracle)
+    #   device_lr_sim: bool — stage-1 LR simulation on device
+    #   sr_infer_dtype: 'bf16' — stage-1 volume inference compute dtype
+    #   sr_mode: 'img+seg' (default) | 'img' — SMORE channel mode
+    #   eval_mirror: bool — TTA mirroring at eval
+    #   teacher_window_chunk: int — KD teacher lax.map chunking
+    #   profile_dir: str — steady-state stage-2 profiler capture
+    #   hr_reference_path: str — HR ground truth for SR PSNR logging
+    #   wdsr_n_resblocks / wdsr_num_channels / arch_override /
+    #   patch_size_zyx / synthetic_folds — model-size + split overrides
     extra: dict = field(default_factory=dict)
 
     @property
