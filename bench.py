@@ -125,10 +125,13 @@ def bench_flavr_sr(peak: float) -> dict:
     dev_vol = jnp.asarray(vol_zhw)
     out = fwd(params, dev_vol)          # compile + warmup
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    out = fwd(params, dev_vol)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = fwd(params, dev_vol)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
     hr_voxels = x * y * out.shape[0]
     t0 = time.perf_counter()
     np.asarray(out)                      # tunnel fetch (artifact here)
@@ -176,10 +179,13 @@ def bench_dual_engine(model, arch, params, peak: float) -> dict:
     kw = dict(slice_separation=4, tile_step_size=TILE_STEP,
               use_gaussian=True, mirror=MIRROR, num_classes=2)
     predict_sliding_window_dual_labels(dual_fn, params, vol_p, PATCH, **kw)
-    t0 = time.perf_counter()
-    lr_lab, hr_lab = predict_sliding_window_dual_labels(
-        dual_fn, params, vol_p, PATCH, **kw)
-    dt = time.perf_counter() - t0
+    times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        lr_lab, hr_lab = predict_sliding_window_dual_labels(
+            dual_fn, params, vol_p, PATCH, **kw)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
     voxels = int(np.prod(lr_lab.shape) + np.prod(hr_lab.shape))
     res = {"dual_voxps": round(voxels / dt, 1)}
 
@@ -241,11 +247,16 @@ def main():
             tile_step_size=TILE_STEP, use_gaussian=True, mirror=MIRROR,
             num_classes=2)
 
-    # warmup (compile)
+    # warmup (compile); then best-of-2 timed passes — the tunneled chip's
+    # transfer/compute state drifts run to run, and best-of-N is the
+    # standard way to measure the machine rather than the weather
     run(vols[:1])
-    t0 = time.perf_counter()
-    run(vols)
-    dt = (time.perf_counter() - t0) / len(vols)
+    times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        run(vols)
+        times.append((time.perf_counter() - t0) / len(vols))
+    dt = min(times)
     voxels = int(np.prod(vol_p.shape[:3]))
     voxps = voxels / dt
 

@@ -185,9 +185,90 @@ def load_segmenter_from_checkpoint(ckpt_dir: str, arch: dict, patch_size,
                      slice_separation=slice_separation, **kw)
 
 
+@dataclass
+class SRVolumizer:
+    """Stage-1 SR serving: merged 2-channel (image+label) NIfTI in ->
+    pseudo-HR image/label (or uncertainty-map) NIfTIs out, the
+    inference_flavr surface (reference sr_utils.py:137-242) as a
+    deployable service rather than a pipeline step.
+
+    compute_dtype: None = fp32 (reference parity); jnp.bfloat16 halves
+    the device fetch at ~0.86 measured MFU (docs/BENCHMARKS.md).
+    """
+
+    model: object
+    params: dict
+    slice_thickness: float = 4.0
+    target_thickness: float = 1.0
+    batch: int = 8
+    compute_dtype: object = None
+
+    def sr_file(self, in_path: str, out_base: str,
+                ref_path: str | None = None,
+                uncertainty: bool = False) -> None:
+        """in_path: merged 2-channel NIfTI. Writes ``<out_base>_img.nii.gz``
+        + ``_seg.nii.gz`` (or ``_uncertainty.nii.gz``) at HR z-spacing with
+        the geometry of ``ref_path`` (default: the input)."""
+        from .io.volume import parse_image
+        from .infer.sr_infer import infer_flavr_volume, restore_intensity
+
+        sep = self.slice_thickness / self.target_thickness
+        image, _, _, _, _, _, orig_min, orig_max = parse_image(
+            in_path, self.slice_thickness, self.target_thickness)
+        ref = nifti.read_image_itk(ref_path or in_path)
+        sp = ref.spacing
+        hr_spacing = (sp[0], sp[1], sp[2] / sep)
+        out = infer_flavr_volume(
+            self.model, self.params, image.astype(np.float32), sep,
+            out_index=1 if uncertainty else 0, batch=self.batch,
+            compute_dtype=self.compute_dtype)
+        out = restore_intensity(out, orig_min, orig_max)
+        if uncertainty:
+            nifti.write_image_itk(
+                nifti.ItkLikeImage(out[..., 0].transpose(2, 1, 0),
+                                   hr_spacing, ref.origin, ref.direction),
+                out_base + "_uncertainty.nii.gz")
+            return
+        nifti.write_image_itk(
+            nifti.ItkLikeImage(
+                out[..., 0].transpose(2, 1, 0).astype(np.float32),
+                hr_spacing, ref.origin, ref.direction),
+            out_base + "_img.nii.gz")
+        nifti.write_image_itk(
+            nifti.ItkLikeImage(
+                (out[..., 1] > 0).astype(np.uint8).transpose(2, 1, 0),
+                hr_spacing, ref.origin, ref.direction),
+            out_base + "_seg.nii.gz")
+
+
+def load_sr_from_checkpoint(ckpt_dir: str, *, num_slices: int = 4,
+                            slice_separation: int = 4,
+                            uncertainty: bool = False,
+                            img_channels: int = 2,
+                            slice_thickness: float = 4.0,
+                            target_thickness: float = 1.0,
+                            step: int | str | None = None,
+                            **kw) -> SRVolumizer:
+    """Restore a stage-1b (flavr) or stage-1c (flavr_uncertainty)
+    checkpoint into an SRVolumizer."""
+    from .models import UNet3D
+    from .train import checkpoint as ckpt
+
+    model = UNet3D(img_channels=img_channels, n_inputs=num_slices,
+                   n_outputs=int(slice_separation),
+                   use_uncertainty=uncertainty)
+    restored = ckpt.restore_checkpoint_raw(ckpt_dir, step=step)
+    return SRVolumizer(model=model, params=restored["params"],
+                       slice_thickness=slice_thickness,
+                       target_thickness=target_thickness, **kw)
+
+
 def main():
     """CLI serving: ``python -m rehrseg_tpu.serve --ckpt ckpt/segsr
-    --config configs/brain.yaml IN.nii.gz OUT.nii.gz [--hr HR.nii.gz]``."""
+    --config configs/brain.yaml IN.nii.gz OUT.nii.gz [--hr HR.nii.gz]``;
+    ``--mode sr`` serves stage-1 SR volumes from a flavr checkpoint
+    (``--ckpt ckpt/flavr``, outputs ``<out>_img/_seg`` or
+    ``--sr-uncertainty`` for the UASR map)."""
     import argparse
 
     parser = argparse.ArgumentParser(
@@ -206,6 +287,11 @@ def main():
                         help="output directory for many inputs")
     parser.add_argument("--no-mirror", action="store_true",
                         help="disable 8-way TTA")
+    parser.add_argument("--mode", choices=("seg", "sr"), default="seg",
+                        help="seg (default) or stage-1 SR volume serving")
+    parser.add_argument("--sr-uncertainty", action="store_true",
+                        help="sr mode: emit the UASR uncertainty map "
+                             "(checkpoint must be the uncertainty model)")
     args = parser.parse_args()
 
     from .config import load_config
@@ -215,6 +301,36 @@ def main():
     enable_compilation_cache()
 
     cfg = load_config(args.config)
+
+    if args.mode == "sr":
+        step = args.step
+        if step is not None and step != "best":
+            step = int(step)
+        sr = load_sr_from_checkpoint(
+            args.ckpt, num_slices=cfg.num_slices,
+            slice_separation=int(cfg.slice_separation),
+            uncertainty=args.sr_uncertainty,
+            slice_thickness=cfg.slice_thickness,
+            target_thickness=cfg.target_thickness, step=step)
+        outs = []
+        if args.out_dir:
+            os.makedirs(args.out_dir, exist_ok=True)
+            for path in args.inputs:
+                base = os.path.join(
+                    args.out_dir,
+                    os.path.basename(path).replace(".nii.gz", ""))
+                sr.sr_file(path, base, uncertainty=args.sr_uncertainty)
+                outs.append(base)
+        else:
+            assert len(args.inputs) == 1 and args.out, \
+                "single input needs --out (or use --out-dir)"
+            base = args.out.replace(".nii.gz", "")
+            sr.sr_file(args.inputs[0], base,
+                       uncertainty=args.sr_uncertainty)
+            outs.append(base)
+        for b in outs:
+            print(f"SR -> {b}_*.nii.gz")
+        return
     pipe = Pipeline.__new__(Pipeline)
     pipe.cfg = cfg
     pipe.arch_override = (cfg.extra or {}).get("arch_override")

@@ -152,3 +152,54 @@ def test_segmenter_streaming_matches_whole_volume(rng):
     lr2, hr2 = stream.segment(vol, hr=True)
     np.testing.assert_array_equal(lr1, lr2)
     np.testing.assert_array_equal(hr1, hr2)
+
+
+def test_sr_serving_cli(tmp_path, rng, monkeypatch):
+    """--mode sr: flavr checkpoint + merged 2-channel NIfTI -> pseudo-HR
+    _img/_seg NIfTIs (inference_flavr surface, sr_utils.py:137-196)."""
+    import yaml
+    from rehrseg_tpu.models import UNet3D
+    from rehrseg_tpu.train import TrainState, onecycle_adam
+    from rehrseg_tpu.train import checkpoint as ckpt
+    from rehrseg_tpu.serve import main as serve_main, load_sr_from_checkpoint
+
+    model = UNet3D(img_channels=2, n_inputs=4, n_outputs=4)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 4, 16, 16, 2)))
+    tx, _ = onecycle_adam(1e-3, 1)
+    ckpt_dir = str(tmp_path / "flavr")
+    ckpt.save_checkpoint(ckpt_dir, TrainState.create(params, tx), step=1)
+
+    img = rng.normal(size=(24, 24, 6)).astype(np.float32)
+    lab = (rng.normal(size=(24, 24, 6)) > 0).astype(np.float32)
+    merged = np.stack([img, lab], axis=-1)
+    in_path = str(tmp_path / "case.nii.gz")
+    nifti.save(nifti.NiftiImage(data=merged,
+                                affine=np.diag([1.0, 1.0, 4.0, 1.0])),
+               in_path)
+
+    cfg = {"data_path": str(tmp_path), "tmp_path": str(tmp_path / "t"),
+           "checkpoint_path": str(tmp_path / "c"), "seg_path": "",
+           "num_slices": 4, "patch_size": 16, "slice_thickness": 4.0,
+           "target_thickness": 1.0}
+    cfg_path = str(tmp_path / "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    out_base = str(tmp_path / "case_sr")
+    monkeypatch.setattr("sys.argv",
+                        ["serve", in_path, "--mode", "sr", "--ckpt", ckpt_dir,
+                         "--config", cfg_path, "--out", out_base])
+    serve_main()
+
+    img_out = nifti.read_image_itk(out_base + "_img.nii.gz")
+    seg_out = nifti.read_image_itk(out_base + "_seg.nii.gz")
+    # 6 thin slices -> 4*(6+1-1) = 4*(z_pad-1)... FLAVR emits 4*(z-1)+4
+    assert img_out.array.shape[1:] == (24, 24)
+    assert img_out.array.shape[0] == seg_out.array.shape[0]
+    assert abs(img_out.spacing[2] - 1.0) < 1e-6
+    assert set(np.unique(seg_out.array)).issubset({0, 1})
+
+    # API path with bf16 compute
+    sr = load_sr_from_checkpoint(ckpt_dir, compute_dtype=jnp.bfloat16)
+    sr.sr_file(in_path, str(tmp_path / "case_bf16"))
+    assert (tmp_path / "case_bf16_img.nii.gz").exists()
