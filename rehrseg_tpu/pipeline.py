@@ -899,6 +899,12 @@ class Pipeline:
             make_fold_mesh, stack_fold_states, unstack_fold_state,
             make_fold_parallel_step, place_fold_state, place_fold_batch)
 
+        if jax.process_count() > 1:
+            raise NotImplementedError(
+                "--fold all is single-host (one fold per local device); on "
+                "a pod run one fold per host instead: REHRSEG-style "
+                "`--fold k` with per-host configs, or a single-host slice")
+
         c = self.cfg
         sep = int(c.slice_separation)
         arch, patch_size_zyx, patch_xyz, patch_ori = self._seg_arch_and_patches()
