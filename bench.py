@@ -143,9 +143,9 @@ def bench_flavr_sr(peak: float) -> dict:
     # by the trip count)
     n_windows = vol_zhw.shape[0] - 1
     n_chunks = -(-n_windows // SR_BATCH)
+    from rehrseg_tpu.train.precision import Policy
     chunk0 = jnp.zeros((SR_BATCH, 4, *vol_zhw.shape[1:3], 2), COMPUTE_DTYPE)
-    pbf = jax.tree.map(lambda t: t.astype(COMPUTE_DTYPE)
-                       if jnp.issubdtype(t.dtype, jnp.inexact) else t, params)
+    pbf = Policy(compute_dtype=COMPUTE_DTYPE).cast_compute(params)
     flops = _flops_of(lambda p, c: model.apply(p, c)[0], pbf, chunk0)
     flops *= n_chunks
     if flops > 0:

@@ -190,3 +190,33 @@ def z_axis_to_lr_axis(img: np.ndarray, lr_axis: int) -> np.ndarray:
         img = np.squeeze(img, axis=4)
     move = _LR_TO_Z_MOVE.get(lr_axis)
     return np.moveaxis(img, *move) if move else img
+
+
+def write_sr_niftis(ref, out_base: str, slice_separation: float, *,
+                    img_xyz: np.ndarray | None = None,
+                    seg_xyz: np.ndarray | None = None,
+                    unc_xyz: np.ndarray | None = None) -> None:
+    """Write pseudo-HR SR volumes as ``<out_base>_img/_seg/_uncertainty``
+    NIfTIs at HR z-spacing with the source geometry (the shared output
+    surface of inference_smore/inference_flavr, sr_utils.py:77-101,
+    175-196, 225-242).
+
+    ref: an ``nifti.ItkLikeImage`` carrying the source spacing/origin/
+    direction. Arrays are (x, y, z); seg binarizes to uint8.
+    """
+    sp = ref.spacing
+    hr_spacing = (sp[0], sp[1], sp[2] / slice_separation)
+
+    def _write(arr_xyz, suffix, dtype):
+        nifti.write_image_itk(
+            nifti.ItkLikeImage(arr_xyz.transpose(2, 1, 0).astype(dtype),
+                               hr_spacing, ref.origin, ref.direction),
+            out_base + suffix)
+
+    if img_xyz is not None:
+        _write(img_xyz, "_img.nii.gz", np.float32)
+    if seg_xyz is not None:
+        _write((np.asarray(seg_xyz) > 0).astype(np.uint8),
+               "_seg.nii.gz", np.uint8)
+    if unc_xyz is not None:
+        _write(unc_xyz, "_uncertainty.nii.gz", np.float32)

@@ -32,12 +32,54 @@ def is_multihost() -> bool:
     return jax.process_count() > 1
 
 
+def is_primary() -> bool:
+    """True on process 0 (and always single-host). Host-side side effects —
+    artifact/NIfTI/h5/metrics writes, checkpoint saves, evaluation — run on
+    the primary only: on shared pod storage concurrent writers corrupt
+    files, and skip-if-exists checks racing a writer desynchronize the
+    hosts' lockstep SPMD programs."""
+    return jax.process_index() == 0
+
+
+def barrier(tag: str) -> None:
+    """Cross-host sync point (no-op single-host): every host must pass the
+    same tags in the same order. Placed after primary-only artifact writes
+    so other hosts never read half-written stage outputs."""
+    if not is_multihost():
+        return
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices(tag)
+
+
+def localize(tree):
+    """Globally-replicated jax.Arrays -> host numpy (every host holds the
+    full value). Lets inference/eval run as plain per-host programs with no
+    collectives, so the primary can run them alone without deadlocking the
+    pod. Identity for already-local trees."""
+    return jax.tree.map(np.asarray, tree)
+
+
 def data_shard() -> tuple[int, int] | None:
     """(process_index, process_count) for BatchLoader(shard=...), or None
     when single-process (keeps the single-host RNG stream byte-identical)."""
     if not is_multihost():
         return None
     return (jax.process_index(), jax.process_count())
+
+
+def validate_global_batch(global_batch: int, mesh: Mesh,
+                          axis: str = "data", what: str = "batch") -> None:
+    """DP sharding needs the GLOBAL batch divisible by the mesh's data-axis
+    extent (= all devices on that axis, not just the process count — a
+    2-host x 4-chip pod has data=8). Fail early with guidance instead of a
+    cryptic make_array error at step 1."""
+    n = int(mesh.shape[axis])
+    if global_batch % n != 0:
+        raise ValueError(
+            f"{what}={global_batch} must be a multiple of the mesh '{axis}' "
+            f"axis ({n} devices across {jax.process_count()} processes); "
+            f"raise {what} to {((global_batch // n) + 1) * n} or run a "
+            f"smaller slice")
 
 
 def globalize_batch(tree, mesh: Mesh, axis: str = "data"):

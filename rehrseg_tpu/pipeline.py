@@ -39,7 +39,8 @@ import jax.numpy as jnp
 
 from .config import Config, load_plans, load_splits
 from .io import nifti
-from .io.volume import parse_image, write_h5
+from .io.volume import (parse_image, write_h5, read_h5,
+                        write_sr_niftis)
 from .losses import calculate_dice
 from .models import WDSR, UNet3D, SegModel, Distiller, arch_from_plans
 from .data.datasets import (SRPatchDataset, SegSRDataset, BatchLoader,
@@ -292,8 +293,14 @@ class Pipeline:
         # stage-1 volume-inference compute dtype: fp32 (reference parity,
         # default) or bf16 (~0.79 MFU device-resident, docs/BENCHMARKS.md;
         # outputs quantize to bf16 before intensity restore)
-        dt = ex.get("sr_infer_dtype")
-        self._sr_infer_dtype = jnp.bfloat16 if str(dt) == "bf16" else None
+        dt = str(ex.get("sr_infer_dtype") or "").lower()
+        if dt in ("bf16", "bfloat16"):
+            self._sr_infer_dtype = jnp.bfloat16
+        elif dt in ("", "fp32", "float32", "none"):
+            self._sr_infer_dtype = None
+        else:
+            raise ValueError(f"unknown sr_infer_dtype {dt!r} "
+                             "(use 'bf16' or 'fp32')")
 
         # multi-host DP (TPU pods): after cli's init_distributed() the
         # device list spans hosts; batches shard per host (BatchLoader
@@ -307,8 +314,16 @@ class Pipeline:
         if _mh.is_multihost():
             from .parallel import make_mesh
             self.dp_mesh = make_mesh()
+            # fail at startup, not at step 1: DP shards the GLOBAL batch
+            # over every device of the mesh 'data' axis
+            _mh.validate_global_batch(c.batch_size_sr, self.dp_mesh,
+                                      what="batch_size_sr")
+            _mh.validate_global_batch(c.batch_size_segsr, self.dp_mesh,
+                                      what="batch_size_segsr")
             print(f"multi-host DP: {jax.process_count()} processes, "
-                  f"{len(jax.devices())} global devices")
+                  f"{len(jax.devices())} global devices; host-side artifact "
+                  f"writes/eval run on process 0 (tmp/checkpoint paths must "
+                  f"be shared storage)")
 
     # ------------------------------------------------------------ stage 0
 
@@ -323,7 +338,9 @@ class Pipeline:
         return splits[c.fold]["train"], splits[c.fold]["val"]
 
     def preprocess(self):
-        merge_images_and_labels(self.cfg.data_path, self.merge_data_path)
+        if self._mh.is_primary():
+            merge_images_and_labels(self.cfg.data_path, self.merge_data_path)
+        self._mh.barrier("preprocess")
 
     # ------------------------------------------------------------ stage 1a
 
@@ -331,14 +348,23 @@ class Pipeline:
         c = self.cfg
         train_subjects, _ = self.split_subjects()
         sep = c.slice_separation
+        subjects = sorted(os.listdir(self.merge_data_path))
         done = all(os.path.exists(os.path.join(self.sr_h5_path, s + ".h5"))
-                   for s in sorted(os.listdir(self.merge_data_path)))
-        if done and os.listdir(self.merge_data_path):
+                   for s in subjects)
+        if done and c.smore_initialization:
+            # SMORE branch completeness includes the per-subject NIfTI
+            # artifacts (backfilled from the h5 on resume, below)
+            done = all(os.path.exists(os.path.join(
+                c.tmp_path, "smore_output",
+                s.replace(".nii.gz", "") + "_img.nii.gz")) for s in subjects)
+        if done and subjects:
             return
 
         if not c.smore_initialization:
-            # traditional interpolation fallback (train_all.py:321-330)
-            for subject in sorted(os.listdir(self.merge_data_path)):
+            # traditional interpolation fallback (train_all.py:321-330);
+            # no SMORE NIfTIs in this branch, matching the reference
+            if self._mh.is_primary():
+              for subject in subjects:
                 h5_path = os.path.join(self.sr_h5_path, subject + ".h5")
                 if os.path.exists(h5_path):
                     continue
@@ -351,6 +377,7 @@ class Pipeline:
                 write_h5(h5_path, img_hr=up_img[..., None],
                          label_hr=up_lab[..., None].astype(np.uint8),
                          image_x_rgb=fx, image_y_rgb=fy)
+            self._mh.barrier("stage1a-interp")
             return
 
         # sr_mode (reference inference_smore, sr_utils.py:33-97): 'img+seg'
@@ -392,15 +419,31 @@ class Pipeline:
         print("INFERENCE NETWORK SMORE")
         smore_out = os.path.join(c.tmp_path, "smore_output")
         os.makedirs(smore_out, exist_ok=True)
-        for subject in sorted(os.listdir(self.merge_data_path)):
+        params = (self._mh.localize(state.params)
+                  if self.dp_mesh is not None else state.params)
+        if self._mh.is_primary():
+          for subject in sorted(os.listdir(self.merge_data_path)):
             h5_path = os.path.join(self.sr_h5_path, subject + ".h5")
+            out_base = os.path.join(smore_out,
+                                    subject.replace(".nii.gz", ""))
+            img_nii = out_base + "_img.nii.gz"
+            ref = nifti.read_image_itk(os.path.join(c.data_path, subject))
             if os.path.exists(h5_path):
+                if not os.path.exists(img_nii):
+                    # resume path: a run interrupted between the h5 write
+                    # and the NIfTI write (or upgraded from a pre-NIfTI
+                    # version) backfills the SMORE artifacts from the h5
+                    img_hr, label_hr = read_h5(h5_path, "img_hr", "label_hr")
+                    write_sr_niftis(
+                        ref, out_base, sep, img_xyz=img_hr[..., 0],
+                        seg_xyz=(label_hr[..., 0]
+                                 if "seg" in sr_mode else None))
                 continue
             image, _, _, blur_fwhm, *_ = parse_image(
                 os.path.join(self.merge_data_path, subject),
                 c.slice_thickness, c.target_thickness)
             sr = infer_wdsr_volume(
-                model, state.params,
+                model, params,
                 image[..., :n_ch].astype(np.float32), sep)
             img_hr = sr[..., 0]
             if n_ch == 2:
@@ -420,29 +463,13 @@ class Pipeline:
                 label_hr = label_hr[:, :, :img_hr.shape[2]]
             # per-subject SMORE NIfTI artifacts (inference_smore's surface,
             # sr_utils.py:77-101): _img always, _seg when sr_mode has 'seg'
-            self._write_sr_niftis(smore_out, subject, img_hr,
-                                  label_hr if "seg" in sr_mode else None, sep)
+            write_sr_niftis(ref, out_base, sep, img_xyz=img_hr,
+                            seg_xyz=label_hr if "seg" in sr_mode else None)
             fx, fy = postprocess_sr_volume(img_hr, blur_fwhm, c.blur_kernel)
             write_h5(h5_path, img_hr=img_hr[..., None],
                      label_hr=label_hr[..., None],
                      image_x_rgb=fx, image_y_rgb=fy)
-
-    def _write_sr_niftis(self, out_dir, subject, img_hr_xyz, label_hr_xyz,
-                         sep):
-        """Per-subject SR NIfTIs at HR z-spacing with the source geometry
-        (inference_smore, sr_utils.py:77-101)."""
-        ref = nifti.read_image_itk(os.path.join(self.cfg.data_path, subject))
-        hr_spacing = (ref.spacing[0], ref.spacing[1], ref.spacing[2] / sep)
-        base = os.path.join(out_dir, subject)
-        nifti.write_image_itk(
-            nifti.ItkLikeImage(img_hr_xyz.transpose(2, 1, 0).astype(
-                np.float32), hr_spacing, ref.origin, ref.direction),
-            base.replace(".nii.gz", "_img.nii.gz"))
-        if label_hr_xyz is not None:
-            nifti.write_image_itk(
-                nifti.ItkLikeImage(label_hr_xyz.transpose(2, 1, 0), hr_spacing,
-                                   ref.origin, ref.direction),
-                base.replace(".nii.gz", "_seg.nii.gz"))
+        self._mh.barrier("stage1a")
 
     # ------------------------------------------------------------ stage 1b/1c
 
@@ -506,6 +533,13 @@ class Pipeline:
     def _flavr_inference(self, model, params, uncertainty: bool):
         c = self.cfg
         sep = c.slice_separation
+        if not self._mh.is_primary():
+            self._mh.barrier(f"flavr-infer-{uncertainty}")
+            return
+        if self.dp_mesh is not None:
+            # host-local copies: the inference jits then carry no
+            # collectives, so the primary can run them alone
+            params = self._mh.localize(params)
         for subject in sorted(os.listdir(self.merge_data_path)):
             base = os.path.join(self.flavr_output_path, subject)
             img_file = base.replace(".nii.gz", "_img.nii.gz")
@@ -518,36 +552,24 @@ class Pipeline:
                 c.slice_thickness, c.target_thickness)
             ref = nifti.read_image_itk(
                 os.path.join(self.cfg.data_path, subject))
-            spacing = ref.spacing
+            out_base = base.replace(".nii.gz", "")
             if not uncertainty:
                 out = infer_flavr_volume(model, params,
                                          image.astype(np.float32), sep,
                                          out_index=0,
                                          compute_dtype=self._sr_infer_dtype)
                 out = restore_intensity(out, orig_min, orig_max)
-                img_out = out[..., 0].transpose(2, 1, 0)  # (z, y, x)
-                seg_out = out[..., 1]
-                seg_out = (seg_out > 0).astype(np.uint8).transpose(2, 1, 0)
-                hr_spacing = (spacing[0], spacing[1], spacing[2] / sep)
-                nifti.write_image_itk(
-                    nifti.ItkLikeImage(img_out, hr_spacing, ref.origin,
-                                       ref.direction), img_file)
-                nifti.write_image_itk(
-                    nifti.ItkLikeImage(seg_out, hr_spacing, ref.origin,
-                                       ref.direction),
-                    base.replace(".nii.gz", "_seg.nii.gz"))
-                self._log_sr_psnr(subject, img_out)
+                write_sr_niftis(ref, out_base, sep, img_xyz=out[..., 0],
+                                seg_xyz=out[..., 1])
+                self._log_sr_psnr(subject, out[..., 0].transpose(2, 1, 0))
             else:
                 out = infer_flavr_volume(model, params,
                                          image.astype(np.float32), sep,
                                          out_index=1,
                                          compute_dtype=self._sr_infer_dtype)
                 out = restore_intensity(out, orig_min, orig_max)
-                unc_out = out[..., 0].transpose(2, 1, 0)
-                hr_spacing = (spacing[0], spacing[1], spacing[2] / sep)
-                nifti.write_image_itk(
-                    nifti.ItkLikeImage(unc_out, hr_spacing, ref.origin,
-                                       ref.direction), unc_file)
+                write_sr_niftis(ref, out_base, sep, unc_xyz=out[..., 0])
+        self._mh.barrier(f"flavr-infer-{uncertainty}")
 
     def _log_sr_psnr(self, subject: str, sr_img_zyx: np.ndarray):
         """Stage-1 SR quality metric (BASELINE acceptance: "Dice & PSNR
@@ -631,6 +653,9 @@ class Pipeline:
         sr_utils.py:284-304): image is 0-255 normalized and slice-profile
         re-blurred in-plane."""
         c = self.cfg
+        if not self._mh.is_primary():
+            self._mh.barrier("postprocess-flavr")
+            return
         for subject in sorted(os.listdir(self.merge_data_path)):
             h5_path = os.path.join(
                 self.segsr_h5_path, subject.replace(".nii.gz", ".h5"))
@@ -654,6 +679,7 @@ class Pipeline:
             blurred = blur_axis_np(zxy.astype(np.float32), kernel, axis=2)
             image = blurred[:, 0].transpose(1, 2, 0)
             write_h5(h5_path, img=image, seg=label, uncertainty=unc)
+        self._mh.barrier("postprocess-flavr")
 
     # ------------------------------------------------------------ stage 2
 
@@ -831,7 +857,11 @@ class Pipeline:
               if (it + 1) % c.save_iters_segsr == 0:
                   seg_p = (state.params["seg"] if c.enable_distillation
                            else state.params)
-                  if val_subjects:
+                  if self.dp_mesh is not None:
+                      # eval + best-tagging is primary-only host work; the
+                      # localized copy keeps the eval jits collective-free
+                      seg_p = self._mh.localize(seg_p)
+                  if val_subjects and self._mh.is_primary():
                       # the reference evaluates with the ENLARGED patch
                       # (x+64, y+64, z) reversed (train_all.py:563,165)
                       val_dice = evaluate(

@@ -54,6 +54,11 @@ class Segmenter:
     compute_dtype = jnp.bfloat16
 
     def __post_init__(self):
+        if self.mesh is not None and self.streaming:
+            raise ValueError(
+                "streaming z-slabs and mesh sharding are separate >HBM "
+                "strategies and do not compose yet — pick one (a streamed "
+                "slab would silently run on a single chip)")
         self.params = jax.tree.map(
             lambda a: jnp.asarray(a, dtype=self.compute_dtype), self.params)
         model = self.model

@@ -89,3 +89,15 @@ def test_unsharded_stream_unchanged():
     a = BatchLoader(_Probe(), 4, seed=11)
     b = BatchLoader(_Probe(), 4, seed=11, shard=None)
     np.testing.assert_array_equal(a.next()[0], b.next()[0])
+
+
+def test_validate_global_batch():
+    """DP needs the GLOBAL batch divisible by the mesh data-axis extent
+    (all devices, not just processes) — fail at startup, not step 1."""
+    from rehrseg_tpu.parallel import make_mesh
+    from rehrseg_tpu.parallel.multihost import validate_global_batch
+
+    mesh = make_mesh(8)   # data=8 on the virtual CPU mesh
+    validate_global_batch(16, mesh)          # ok
+    with pytest.raises(ValueError, match="batch_size_segsr=2.*multiple"):
+        validate_global_batch(2, mesh, what="batch_size_segsr")

@@ -246,3 +246,22 @@ def test_sr_psnr_logged_with_hr_reference(synthetic_dataset, tmp_path):
 
     # silently skips when no reference exists
     pipe._log_sr_psnr("sub_missing.nii.gz", sr)
+
+
+@pytest.mark.slow
+def test_stage1a_smore_nifti_backfill(synthetic_dataset):
+    """A run interrupted between the h5 write and the NIfTI write (or
+    upgraded from a pre-NIfTI version) must backfill the SMORE artifacts
+    from the h5 on resume instead of skipping them forever."""
+    import shutil
+    cfg = _tiny_config(synthetic_dataset)
+    cfg.smore_initialization = True
+    pipe = Pipeline(cfg)
+    pipe.preprocess()
+    pipe.stage1a_smore()
+    smore_out = os.path.join(cfg.tmp_path, "smore_output")
+    assert os.path.exists(os.path.join(smore_out, "sub1_0000_img.nii.gz"))
+    shutil.rmtree(smore_out)
+    pipe.stage1a_smore()   # h5s exist; NIfTIs must reappear from them
+    assert os.path.exists(os.path.join(smore_out, "sub1_0000_img.nii.gz"))
+    assert os.path.exists(os.path.join(smore_out, "sub1_0000_seg.nii.gz"))
