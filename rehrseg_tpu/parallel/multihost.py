@@ -34,10 +34,11 @@ def is_multihost() -> bool:
 
 def is_primary() -> bool:
     """True on process 0 (and always single-host). Host-side side effects —
-    artifact/NIfTI/h5/metrics writes, checkpoint saves, evaluation — run on
-    the primary only: on shared pod storage concurrent writers corrupt
-    files, and skip-if-exists checks racing a writer desynchronize the
-    hosts' lockstep SPMD programs."""
+    artifact/NIfTI/h5/metrics writes, evaluation — run on the primary only:
+    on shared pod storage concurrent writers corrupt files, and
+    skip-if-exists checks racing a writer desynchronize the hosts' lockstep
+    SPMD programs. (Orbax checkpoint saves are the exception: they are
+    COLLECTIVE — all processes call, orbax's primary writes.)"""
     return jax.process_index() == 0
 
 
@@ -49,6 +50,17 @@ def barrier(tag: str) -> None:
         return
     from jax.experimental import multihost_utils
     multihost_utils.sync_global_devices(tag)
+
+
+def broadcast_scalar(value: float) -> float:
+    """Primary's scalar -> every process (e.g. a val metric computed only
+    on process 0 that gates a COLLECTIVE action like an orbax save). No-op
+    single-host."""
+    if not is_multihost():
+        return float(value)
+    from jax.experimental import multihost_utils
+    return float(multihost_utils.broadcast_one_to_all(
+        np.float32(value if is_primary() else 0.0)))
 
 
 def localize(tree):

@@ -858,19 +858,24 @@ class Pipeline:
                   seg_p = (state.params["seg"] if c.enable_distillation
                            else state.params)
                   if self.dp_mesh is not None:
-                      # eval + best-tagging is primary-only host work; the
-                      # localized copy keeps the eval jits collective-free
+                      # eval is primary-only host work; the localized copy
+                      # keeps the eval jits collective-free. The resulting
+                      # dice broadcasts so the COLLECTIVE best-tag orbax
+                      # save below runs on every process in lockstep.
                       seg_p = self._mh.localize(seg_p)
-                  if val_subjects and self._mh.is_primary():
-                      # the reference evaluates with the ENLARGED patch
-                      # (x+64, y+64, z) reversed (train_all.py:563,165)
-                      val_dice = evaluate(
-                          seg, seg_p, patch_ori[::-1], c.data_path,
-                          c.data_path.replace("imagesTr", "labelsTr"),
-                          val_subjects, c.slice_separation,
-                          mirror=self.eval_mirror)
-                      print(f"Eval result: {val_dice}")
-                      mlog.log(it + 1, val_dice=float(val_dice))
+                  if val_subjects:
+                      val_dice = 0.0
+                      if self._mh.is_primary():
+                          # the reference evaluates with the ENLARGED patch
+                          # (x+64, y+64, z) reversed (train_all.py:563,165)
+                          val_dice = evaluate(
+                              seg, seg_p, patch_ori[::-1], c.data_path,
+                              c.data_path.replace("imagesTr", "labelsTr"),
+                              val_subjects, c.slice_separation,
+                              mirror=self.eval_mirror)
+                          print(f"Eval result: {val_dice}")
+                          mlog.log(it + 1, val_dice=float(val_dice))
+                      val_dice = self._mh.broadcast_scalar(val_dice)
                       if val_dice > best_dice:
                           # keep a best-by-val-dice checkpoint — the
                           # reference INTENDS this (train_all.py:566-573)

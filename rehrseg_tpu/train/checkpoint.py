@@ -32,12 +32,10 @@ def save_checkpoint(directory: str, state: TrainState,
     if step is None:
         step = int(state.step)
     path = os.path.join(os.path.abspath(directory), str(step))
-    if jax.process_count() > 1 and jax.process_index() != 0:
-        # multi-host: params/opt state are globally replicated, so process 0
-        # is the single writer (concurrent orbax writes to one shared path
-        # corrupt each other); no barrier here — saves may be called from
-        # primary-only branches (e.g. the best-by-val-dice tag)
-        return path
+    # multi-host: orbax's save is a COLLECTIVE — every process must call it
+    # in lockstep (it syncs internally and only the primary writes host
+    # arrays), so callers must never gate a save on process_index; see the
+    # broadcast of the best-val-dice decision in pipeline.stage2_segsr
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(os.path.join(path, name),
                    {"params": _to_host(state.params),

@@ -89,6 +89,17 @@ state, metrics = step(state, x_g, y_g)
 loss = float(metrics["loss"])  # replicated scalar: gatherable on all hosts
 assert np.isfinite(loss)
 
+# shared-storage checkpoint: every process calls save in lockstep, but only
+# process 0 writes (single-writer rule); both can restore the result
+ckpt_dir = sys.argv[4]
+from rehrseg_tpu.train import checkpoint as ckpt  # noqa: E402
+
+ckpt.save_checkpoint(ckpt_dir, state)
+mh.barrier("ckpt-saved")
+assert ckpt.has_checkpoint(ckpt_dir)
+restored = ckpt.restore_checkpoint(ckpt_dir, state)
+assert int(restored.step) == int(state.step)
+
 # params after the step are replicated -> identical bytes on every host
 flat = jax.tree_util.tree_leaves(state.params)
 h = hashlib.sha256()

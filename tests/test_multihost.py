@@ -26,14 +26,16 @@ def _free_port() -> int:
 
 
 @pytest.mark.slow
-def test_two_process_dp_step():
+def test_two_process_dp_step(tmp_path):
     port = str(_free_port())
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     # the worker builds its own 1-device-per-process cluster
     env.pop("XLA_FLAGS", None)
+    ckpt_dir = str(tmp_path / "shared_ckpt")
     procs = [
-        subprocess.Popen([sys.executable, WORKER, str(i), "2", port],
+        subprocess.Popen([sys.executable, WORKER, str(i), "2", port,
+                          ckpt_dir],
                          stdout=subprocess.PIPE, stderr=subprocess.PIPE,
                          env=env, text=True)
         for i in range(2)
@@ -52,6 +54,9 @@ def test_two_process_dp_step():
     # identical params after one DP step (grad all-reduce worked)
     assert by_proc[0]["param_digest"] == by_proc[1]["param_digest"]
     assert by_proc[0]["loss"] == pytest.approx(by_proc[1]["loss"], rel=1e-6)
+    # shared-dir checkpoint written exactly once (primary) and restorable
+    # by both (asserted inside the workers)
+    assert os.path.isdir(os.path.join(ckpt_dir, "1", "state"))
 
 
 class _Probe:
