@@ -120,9 +120,13 @@ def _cached_volume_forward(model, out_index: int, batch: int,
         def vol_fwd(p, vol_zhw):  # (z, H, W, c) -> (4*(z-1), H, W, c_out)
             z = vol_zhw.shape[0]
             if compute_dtype is not None:
-                from ..train.precision import Policy
+                # unconditional cast (not Policy.cast_compute, whose fp32
+                # identity short-circuit would skip downcasting bf16 params
+                # when a caller explicitly requests the fp32 path)
                 vol_zhw = vol_zhw.astype(compute_dtype)
-                p = Policy(compute_dtype=compute_dtype).cast_compute(p)
+                p = jax.tree.map(
+                    lambda t: t.astype(compute_dtype)
+                    if jnp.issubdtype(t.dtype, jnp.inexact) else t, p)
             padded = jnp.pad(vol_zhw, ((1, 1), (0, 0), (0, 0), (0, 0)))
             idx = np.arange(z - 1)[:, None] + np.arange(4)[None]
             windows = padded[idx]  # (z-1, 4, H, W, c)

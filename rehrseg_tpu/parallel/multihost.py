@@ -63,6 +63,18 @@ def broadcast_scalar(value: float) -> float:
         np.float32(value if is_primary() else 0.0)))
 
 
+def any_flag(flag: bool) -> bool:
+    """Cross-host OR of a local flag (collective; all hosts must call).
+    Used so a SIGTERM caught by ONE host still checkpoints the whole pod —
+    gating a collective orbax save on a host-local flag deadlocks
+    (checkpoint.py note). No-op single-host."""
+    if not is_multihost():
+        return bool(flag)
+    from jax.experimental import multihost_utils
+    return bool(multihost_utils.process_allgather(
+        np.asarray(bool(flag))).any())
+
+
 def localize(tree):
     """Globally-replicated jax.Arrays -> host numpy (every host holds the
     full value). Lets inference/eval run as plain per-host programs with no

@@ -132,7 +132,13 @@ def _train_sr_loop(model, tx, state, loader, step_fn, n_steps, save_iters,
     try:
       with guard:
         for it in range(start_it, n_steps):
-            if guard.should_stop:
+            stop = guard.should_stop
+            if dp_mesh is not None:
+                # the save below is collective: act only on a pod-agreed
+                # flag (OR across hosts, checked every 10 steps to keep the
+                # host sync off the async dispatch path)
+                stop = _mh.any_flag(stop) if it % 10 == 0 else False
+            if stop:
                 ckpt.save_checkpoint(weight_dir, state)
                 raise TrainingPreempted(int(state.step))
             lr_b, hr_b = loader.next()
@@ -320,6 +326,10 @@ class Pipeline:
                                       what="batch_size_sr")
             _mh.validate_global_batch(c.batch_size_segsr, self.dp_mesh,
                                       what="batch_size_segsr")
+            if c.fold == "all":
+                raise NotImplementedError(
+                    "--fold all is single-host (one fold per local device); "
+                    "on a pod run one fold per host with --fold k")
             print(f"multi-host DP: {jax.process_count()} processes, "
                   f"{len(jax.devices())} global devices; host-side artifact "
                   f"writes/eval run on process 0 (tmp/checkpoint paths must "
@@ -419,17 +429,18 @@ class Pipeline:
         print("INFERENCE NETWORK SMORE")
         smore_out = os.path.join(c.tmp_path, "smore_output")
         os.makedirs(smore_out, exist_ok=True)
-        params = (self._mh.localize(state.params)
-                  if self.dp_mesh is not None else state.params)
         if self._mh.is_primary():
+          params = (self._mh.localize(state.params)
+                    if self.dp_mesh is not None else state.params)
           for subject in sorted(os.listdir(self.merge_data_path)):
             h5_path = os.path.join(self.sr_h5_path, subject + ".h5")
             out_base = os.path.join(smore_out,
                                     subject.replace(".nii.gz", ""))
             img_nii = out_base + "_img.nii.gz"
-            ref = nifti.read_image_itk(os.path.join(c.data_path, subject))
             if os.path.exists(h5_path):
                 if not os.path.exists(img_nii):
+                    ref = nifti.read_image_itk(
+                        os.path.join(c.data_path, subject))
                     # resume path: a run interrupted between the h5 write
                     # and the NIfTI write (or upgraded from a pre-NIfTI
                     # version) backfills the SMORE artifacts from the h5
@@ -439,6 +450,7 @@ class Pipeline:
                         seg_xyz=(label_hr[..., 0]
                                  if "seg" in sr_mode else None))
                 continue
+            ref = nifti.read_image_itk(os.path.join(c.data_path, subject))
             image, _, _, blur_fwhm, *_ = parse_image(
                 os.path.join(self.merge_data_path, subject),
                 c.slice_thickness, c.target_thickness)
@@ -830,7 +842,10 @@ class Pipeline:
                   jax.profiler.start_trace(profile_dir)
               if profile_dir and it == int(state.step) + 10:
                   jax.profiler.stop_trace()
-              if guard.should_stop:
+              stop = guard.should_stop
+              if self.dp_mesh is not None:
+                  stop = (self._mh.any_flag(stop) if it % 10 == 0 else False)
+              if stop:
                   ckpt.save_checkpoint(self.segsr_ckpt, state)
                   raise TrainingPreempted(int(state.step))
               timer.start()
@@ -855,17 +870,18 @@ class Pipeline:
                   mlog.log(it + 1, loss=float(metrics["loss"]),
                            lr=float(sched(it)), step_time_s=timer.mean())
               if (it + 1) % c.save_iters_segsr == 0:
-                  seg_p = (state.params["seg"] if c.enable_distillation
-                           else state.params)
-                  if self.dp_mesh is not None:
-                      # eval is primary-only host work; the localized copy
-                      # keeps the eval jits collective-free. The resulting
-                      # dice broadcasts so the COLLECTIVE best-tag orbax
-                      # save below runs on every process in lockstep.
-                      seg_p = self._mh.localize(seg_p)
                   if val_subjects:
                       val_dice = 0.0
                       if self._mh.is_primary():
+                          seg_p = (state.params["seg"]
+                                   if c.enable_distillation else state.params)
+                          if self.dp_mesh is not None:
+                              # eval is primary-only host work; the
+                              # localized copy keeps the eval jits
+                              # collective-free, and the dice broadcasts so
+                              # the COLLECTIVE best-tag orbax save below
+                              # runs on every process in lockstep
+                              seg_p = self._mh.localize(seg_p)
                           # the reference evaluates with the ENLARGED patch
                           # (x+64, y+64, z) reversed (train_all.py:563,165)
                           val_dice = evaluate(

@@ -217,33 +217,22 @@ class SRVolumizer:
         from .io.volume import parse_image
         from .infer.sr_infer import infer_flavr_volume, restore_intensity
 
+        from .io.volume import write_sr_niftis
+
         sep = self.slice_thickness / self.target_thickness
         image, _, _, _, _, _, orig_min, orig_max = parse_image(
             in_path, self.slice_thickness, self.target_thickness)
         ref = nifti.read_image_itk(ref_path or in_path)
-        sp = ref.spacing
-        hr_spacing = (sp[0], sp[1], sp[2] / sep)
         out = infer_flavr_volume(
             self.model, self.params, image.astype(np.float32), sep,
             out_index=1 if uncertainty else 0, batch=self.batch,
             compute_dtype=self.compute_dtype)
         out = restore_intensity(out, orig_min, orig_max)
         if uncertainty:
-            nifti.write_image_itk(
-                nifti.ItkLikeImage(out[..., 0].transpose(2, 1, 0),
-                                   hr_spacing, ref.origin, ref.direction),
-                out_base + "_uncertainty.nii.gz")
-            return
-        nifti.write_image_itk(
-            nifti.ItkLikeImage(
-                out[..., 0].transpose(2, 1, 0).astype(np.float32),
-                hr_spacing, ref.origin, ref.direction),
-            out_base + "_img.nii.gz")
-        nifti.write_image_itk(
-            nifti.ItkLikeImage(
-                (out[..., 1] > 0).astype(np.uint8).transpose(2, 1, 0),
-                hr_spacing, ref.origin, ref.direction),
-            out_base + "_seg.nii.gz")
+            write_sr_niftis(ref, out_base, sep, unc_xyz=out[..., 0])
+        else:
+            write_sr_niftis(ref, out_base, sep, img_xyz=out[..., 0],
+                            seg_xyz=out[..., 1])
 
 
 def load_sr_from_checkpoint(ckpt_dir: str, *, num_slices: int = 4,

@@ -21,8 +21,8 @@ class MetricsLogger:
     def log(self, step: int, **metrics):
         # multi-host: every process trains in lockstep with identical
         # metrics — one writer keeps the shared-storage jsonl uncorrupted
-        import jax
-        if jax.process_count() > 1 and jax.process_index() != 0:
+        from ..parallel.multihost import is_primary
+        if not is_primary():
             return None
         rec = {"step": int(step), "time": time.time()}
         for k, v in metrics.items():
