@@ -18,6 +18,16 @@ def main():
     if fold is not None and fold != "all":
         fold = int(fold)
 
+    # REHRSEG_PLATFORM=cpu forces the backend (e.g. multi-process CPU
+    # validation runs) — must happen before any backend initializes, and
+    # works even when the environment pre-imported jax on another platform
+    import os
+    plat = os.environ.get("REHRSEG_PLATFORM")
+    if plat:
+        import jax
+        os.environ["JAX_PLATFORMS"] = plat
+        jax.config.update("jax_platforms", plat)
+
     # multi-host: no-op single-process; on a pod (or with
     # REHRSEG_COORDINATOR/REHRSEG_NUM_PROCESSES/REHRSEG_PROCESS_ID set)
     # initializes jax.distributed BEFORE any backend use so jax.devices()
