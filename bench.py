@@ -64,20 +64,73 @@ A100_FP16_PEAK = 312e12
 EST_MFU = 0.40
 
 
+_PEAK_STATE = {}
+
+
 def _measure_chip_peak() -> float:
-    """bf16 matmul peak probe (TFLOP/s) on the attached chip."""
-    rng = np.random.default_rng(1)
-    a = jnp.asarray(rng.normal(size=(8192, 4096)), jnp.bfloat16)
-    b = jnp.asarray(rng.normal(size=(4096, 4096)) * 0.02, jnp.bfloat16)
-    mm = jax.jit(lambda a, b: a @ b)
+    """bf16 matmul peak probe (TFLOP/s) on the attached chip.
+
+    Cheap enough (~0.1 s) to INTERLEAVE with every engine trial: the
+    tunneled chip's effective rate drifts 75-88 TFLOP/s across sessions
+    (docs/BENCHMARKS.md), so each trial carries a same-run peak reading and
+    MFU attribution uses the probe adjacent to the winning trial."""
+    ITERS = 48
+    if not _PEAK_STATE:
+        rng = np.random.default_rng(1)
+        _PEAK_STATE["a"] = jnp.asarray(rng.normal(size=(8192, 4096)),
+                                       jnp.bfloat16)
+        _PEAK_STATE["b"] = jnp.asarray(rng.normal(size=(4096, 4096)) * 0.02,
+                                       jnp.bfloat16)
+
+        # ONE dispatch containing a dependency chain of ITERS matmuls: a
+        # per-call dispatch loop reads minutes-low when the tunnel/host is
+        # congested (measured: probe 8-28 TF/s while the big engine scan
+        # sustained 58 — MFU "1.6"), because each tiny call pays the full
+        # dispatch latency. ~75 ms of chained MXU work amortizes it away.
+        @jax.jit
+        def chain(a, b):
+            def body(i, x):
+                return jax.lax.dot(x, b,
+                                   preferred_element_type=jnp.bfloat16)
+            return jax.lax.fori_loop(0, ITERS, body, a)
+
+        _PEAK_STATE["mm"] = chain
+    a, b, mm = _PEAK_STATE["a"], _PEAK_STATE["b"], _PEAK_STATE["mm"]
     np.asarray(mm(a, b).ravel()[0])
-    np.asarray(mm(a, b).ravel()[0])
-    t0 = time.perf_counter()
-    for _ in range(16):
+    best = 0.0
+    for _ in range(2):
+        t0 = time.perf_counter()
         out = mm(a, b)
-    np.asarray(out.ravel()[0])
-    dt = (time.perf_counter() - t0) / 16
-    return 2 * 8192 * 4096 * 4096 / dt / 1e12
+        np.asarray(out.ravel()[0])
+        dt = time.perf_counter() - t0
+        best = max(best, ITERS * 2 * 8192 * 4096 * 4096 / dt / 1e12)
+    return best
+
+
+def _timed_trials(fn, n_trials: int = 3, probe_peak: bool = True):
+    """Run fn() n_trials times; returns (times, peaks) where peaks[i] is the
+    chip-peak probe measured immediately before trial i (VERDICT r3 weak #1:
+    one measurement per invocation cannot defend the number against
+    session-state drift — N trials with interleaved probes can)."""
+    times, peaks = [], []
+    for _ in range(n_trials):
+        peaks.append(_measure_chip_peak() if probe_peak else 0.0)
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return times, peaks
+
+
+def _best(times, peaks):
+    """(best_time, peak, median_time).
+
+    peak = MAX probe reading across the trials: the chip's capability
+    cannot increase with tunnel weather, so the largest reading is the
+    best estimate of the true ceiling, and using it as the MFU denominator
+    is conservative (a congestion-depressed probe would inflate MFU)."""
+    i = int(np.argmin(times))
+    peak = max([p for p in peaks if p] or [0.0])
+    return times[i], peak, float(np.median(times))
 
 
 def _flops_of(fn, *args, compiled: bool = True) -> float:
@@ -125,19 +178,20 @@ def bench_flavr_sr(peak: float) -> dict:
     dev_vol = jnp.asarray(vol_zhw)
     out = fwd(params, dev_vol)          # compile + warmup
     jax.block_until_ready(out)
-    times = []
-    for _ in range(2):
-        t0 = time.perf_counter()
-        out = fwd(params, dev_vol)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
+
+    def run():
+        jax.block_until_ready(fwd(params, dev_vol))
+
+    times, peaks = _timed_trials(run, 3)
+    dt, peak_sr, _ = _best(times, peaks)
     hr_voxels = x * y * out.shape[0]
     t0 = time.perf_counter()
     np.asarray(out)                      # tunnel fetch (artifact here)
     fetch_s = time.perf_counter() - t0
 
     res = {"sr_voxps": round(hr_voxels / dt, 1)}
+    if peak_sr:
+        peak = peak_sr                   # same-trial attribution
     # FLOPs = one window-chunk forward x n_chunks (cost_analysis counts a
     # lax.map/scan body ONCE, so analyzing the whole volume fn undercounts
     # by the trip count)
@@ -178,16 +232,43 @@ def bench_dual_engine(model, arch, params, peak: float) -> dict:
 
     kw = dict(slice_separation=4, tile_step_size=TILE_STEP,
               use_gaussian=True, mirror=MIRROR, num_classes=2)
-    predict_sliding_window_dual_labels(dual_fn, params, vol_p, PATCH, **kw)
-    times = []
-    for _ in range(2):
-        t0 = time.perf_counter()
-        lr_lab, hr_lab = predict_sliding_window_dual_labels(
-            dual_fn, params, vol_p, PATCH, **kw)
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
+    lr_lab, hr_lab = predict_sliding_window_dual_labels(
+        dual_fn, params, vol_p, PATCH, **kw)  # compile + warmup
+
+    def run():
+        predict_sliding_window_dual_labels(dual_fn, params, vol_p, PATCH,
+                                           **kw)
+
+    times, peaks = _timed_trials(run, 2)
+    dt, peak_dual, _ = _best(times, peaks)
     voxels = int(np.prod(lr_lab.shape) + np.prod(hr_lab.shape))
     res = {"dual_voxps": round(voxels / dt, 1)}
+    if peak_dual:
+        peak = peak_dual
+
+    # device-resident dual pass (volume pre-uploaded, labels consumed on
+    # device) — the composite's chip-side attribution (VERDICT r3 weak #7:
+    # the tunnel's per-subject fetch must not pollute the composite claim)
+    from rehrseg_tpu.infer.sliding_window import (
+        _sliding_window_scan_dual, _device_gaussian, _device_starts,
+        _argmax_uint8)
+    g_lr = _device_gaussian(PATCH, True)
+    g_hr = _device_gaussian((PATCH[0] * 4,) + PATCH[1:], True)
+    starts = _device_starts(tuple(vol_p.shape[:3]), PATCH, TILE_STEP, 1)
+    dev_vol = jnp.asarray(vol_p.astype(np.float32), COMPUTE_DTYPE)
+    consume = jax.jit(lambda a, b: a.astype(jnp.int32).sum()
+                      + b.astype(jnp.int32).sum())
+
+    def run_dev():
+        llr, _, lhr, _ = _sliding_window_scan_dual(
+            dual_fn, params, dev_vol, starts, g_lr, g_hr, PATCH,
+            tuple(vol_p.shape[:3]), 4, MIRROR, 2, need_weights=False)
+        return float(consume(_argmax_uint8(llr), _argmax_uint8(lhr)))
+
+    run_dev()
+    dev_times, _ = _timed_trials(run_dev, 2, probe_peak=False)
+    res["_dual_device_seconds_per_volume"] = min(dev_times)
+    res["dual_device_voxps"] = round(voxels / min(dev_times), 1)
 
     from rehrseg_tpu.infer.sliding_window import sliding_window_starts
     n_tta = 8 if MIRROR else 1
@@ -247,16 +328,15 @@ def main():
             tile_step_size=TILE_STEP, use_gaussian=True, mirror=MIRROR,
             num_classes=2)
 
-    # warmup (compile); then best-of-2 timed passes — the tunneled chip's
-    # transfer/compute state drifts run to run, and best-of-N is the
-    # standard way to measure the machine rather than the weather
+    # warmup (compile); then N=3 timed trials with an interleaved chip-peak
+    # probe before each — the tunneled chip's transfer/compute state drifts
+    # run to run; best-of-N measures the machine rather than the weather,
+    # and the same-trial probe attributes MFU against what the chip could
+    # actually do at that moment
     run(vols[:1])
-    times = []
-    for _ in range(2):
-        t0 = time.perf_counter()
-        run(vols)
-        times.append((time.perf_counter() - t0) / len(vols))
-    dt = min(times)
+    raw_times, trial_peaks = _timed_trials(lambda: run(vols), 3)
+    times = [t / len(vols) for t in raw_times]
+    dt, peak, dt_median = _best(times, trial_peaks)
     voxels = int(np.prod(vol_p.shape[:3]))
     voxps = voxels / dt
 
@@ -272,18 +352,36 @@ def main():
     except Exception:
         flops_fwd = 0.0
 
-    extra = {}
+    extra = {"trials_voxps": [round(voxels / t, 1) for t in times],
+             "value_median": round(voxels / dt_median, 1),
+             "trial_peaks_tflops": [round(p, 1) for p in trial_peaks]}
+    # RAW FLOPs of the packed forward actually executed (parity FLOPs x the
+    # space-to-depth packing inflation): raw MFU is the "how close to the
+    # hardware are we" signal; parity MFU is the "how much useful math per
+    # second" signal. Both are reported — the gap between them IS the
+    # packing inflation, a deliberate trade (docs/BENCHMARKS.md round 2).
+    try:
+        lowered = jax.jit(lr_fn).lower(
+            params, jnp.zeros((n_tta, *PATCH, 1), COMPUTE_DTYPE))
+        flops_raw = float(lowered.compile().cost_analysis().get("flops", 0.0))
+    except Exception:
+        flops_raw = 0.0
     if flops_fwd > 0:
         total_flops = flops_fwd * n_tiles
         flops_per_voxel = total_flops / voxels
         est_a100_voxps = A100_FP16_PEAK * EST_MFU / flops_per_voxel
         vs_baseline = voxps / est_a100_voxps
         eq_tflops = total_flops / dt / 1e12
-        extra = {
+        extra.update({
             "eq_tflops": round(eq_tflops, 1),
             "chip_peak_tflops": round(peak, 1),
             "mfu_vs_chip_peak": round(eq_tflops / peak, 3) if peak else None,
-        }
+        })
+        if flops_raw > 0:
+            raw_tflops = flops_raw * n_tiles / dt / 1e12
+            extra["raw_tflops"] = round(raw_tflops, 1)
+            if peak:
+                extra["raw_mfu_vs_chip_peak"] = round(raw_tflops / peak, 3)
     else:
         vs_baseline = 0.0
 
@@ -310,19 +408,18 @@ def main():
     dev_extra = {}
     try:
         run_dev()
-        dev_times = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            run_dev()
-            dev_times.append(time.perf_counter() - t0)
-        dt_dev = min(dev_times)
+        dev_times, dev_peaks = _timed_trials(run_dev, 3)
+        dt_dev, peak_dev, _ = _best(dev_times, dev_peaks)
         dev_extra = {"seg_device_voxps": round(voxels / dt_dev, 1)}
         if flops_fwd > 0:
             eq_dev = flops_fwd * n_tiles / dt_dev / 1e12
             dev_extra["seg_device_eq_tflops"] = round(eq_dev, 1)
-            if peak:
+            if peak_dev:
                 dev_extra["seg_device_mfu_vs_chip_peak"] = round(
-                    eq_dev / peak, 3)
+                    eq_dev / peak_dev, 3)
+            if flops_raw > 0 and peak_dev:
+                dev_extra["seg_device_raw_mfu_vs_chip_peak"] = round(
+                    flops_raw * n_tiles / dt_dev / 1e12 / peak_dev, 3)
     except Exception as e:
         dev_extra = {"seg_device_error": f"{type(e).__name__}"}
 
@@ -339,14 +436,24 @@ def main():
     try:
         dual = bench_dual_engine(model, arch, params, peak)
         t_dual = dual.pop("_dual_seconds_per_volume")
+        t_dual_dev = dual.pop("_dual_device_seconds_per_volume", None)
     except Exception as e:
-        dual, t_dual = {"dual_error": f"{type(e).__name__}"}, None
+        dual, t_dual, t_dual_dev = {"dual_error": f"{type(e).__name__}"}, \
+            None, None
     composite = {}
     if t_sr is not None and t_dual is not None:
         hr_voxels = VOLUME[0] * 4 * VOLUME[1] * VOLUME[2]
+        # serial e2e composite (SR engine time + dual engine incl. its
+        # label fetch) AND the device-resident attribution: both component
+        # times with the volume resident and results consumed on device —
+        # what the chip sustains when transfers overlap (any real TPU VM;
+        # the tunnel serializes them, docs/BENCHMARKS.md)
         composite = {
             "sr_plus_seg_voxps": round(hr_voxels / (t_sr + t_dual), 1),
         }
+        if t_dual_dev is not None:
+            composite["sr_plus_seg_device_voxps"] = round(
+                hr_voxels / (t_sr + t_dual_dev), 1)
 
     print(json.dumps({
         "metric": "segmodel_sliding_window_voxel_throughput",

@@ -32,8 +32,9 @@ def main():
     # REHRSEG_COORDINATOR/REHRSEG_NUM_PROCESSES/REHRSEG_PROCESS_ID set)
     # initializes jax.distributed BEFORE any backend use so jax.devices()
     # is the global list and training shards batches per host
-    from .parallel.distributed import init_distributed
+    from .parallel.distributed import init_distributed, assert_pod_consistency
     init_distributed()
+    assert_pod_consistency()
 
     from .utils.compilation_cache import enable_compilation_cache
     enable_compilation_cache()

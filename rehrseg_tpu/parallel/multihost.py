@@ -118,6 +118,37 @@ def globalize_batch(tree, mesh: Mesh, axis: str = "data"):
         tree)
 
 
+def place_global(tree, mesh: Mesh, spec: P):
+    """Per-host local arrays -> one global jax.Array sharded as ``spec``.
+
+    Generalizes :func:`globalize_batch` to arbitrary PartitionSpecs (e.g.
+    P('data', None, 'spatial') for spatially-sharded stage-2 training, where
+    the batch dim shards over 'data' and H over 'spatial'). Works in both
+    worlds: single-process -> device_put (the process holds the full
+    array); multi-process -> make_array_from_process_local_data (each
+    process holds its batch slice with full spatial extent — the 'spatial'
+    axis spans each host's local devices)."""
+    sh = NamedSharding(mesh, spec)
+    if not is_multihost():
+        return jax.tree.map(
+            lambda x: jax.device_put(jax.numpy.asarray(x), sh), tree)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+        tree)
+
+
+def replicate_any(tree, mesh: Mesh):
+    """Host-identical pytree -> replicated jax.Arrays on ``mesh`` — like
+    :func:`replicate_global` but also places in single-process mode (needed
+    when a single-host mesh carries a 'spatial' axis: params must be
+    device_put replicated so the jitted step compiles SPMD instead of
+    single-device)."""
+    if not is_multihost():
+        sh = NamedSharding(mesh, P())
+        return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+    return replicate_global(tree, mesh)
+
+
 def replicate_global(tree, mesh: Mesh):
     """Host-identical pytree -> globally replicated jax.Arrays on `mesh`.
 

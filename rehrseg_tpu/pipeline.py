@@ -167,6 +167,15 @@ def _train_sr_loop(model, tx, state, loader, step_fn, n_steps, save_iters,
                          **({"lr": lr_now} if lr_now is not None else {}))
                 print(f"  step {it}/{n_steps} loss={loss:.4f} "
                       f"(~{dt * 1e3:.0f} ms/step)")
+        # a SIGTERM in the final (up to) 9 steps lands between collective
+        # checks; one last pod-agreed check so a late signal still
+        # checkpoints and stops cleanly instead of running on into inference
+        stop = guard.should_stop
+        if dp_mesh is not None:
+            stop = _mh.any_flag(stop)
+        if stop:
+            ckpt.save_checkpoint(weight_dir, state)
+            raise TrainingPreempted(int(state.step))
     finally:
         if hasattr(loader, "close"):
             loader.close()
@@ -317,6 +326,26 @@ class Pipeline:
         self._mh = _mh
         self.data_shard = _mh.data_shard()
         self.dp_mesh = None
+        # spatial-sharded stage-2 training (extra: {mesh_spatial: N}): the
+        # (data, spatial) mesh shards each patch's H dim over 'spatial'
+        # devices through the jitted step — XLA inserts the conv halo
+        # exchanges — so activations per device shrink by N: the TPU answer
+        # to patches too large for one chip's HBM even packed+remat
+        # (SURVEY §5 long-context analogue). The batch dim shards over
+        # 'data' as usual; __graft_entry__.dryrun_multichip and
+        # tests/test_train.py::test_spatial_sharded_seg_step pin parity.
+        self.mesh_spatial = int((c.extra or {}).get("mesh_spatial", 1) or 1)
+        self.seg_mesh = None
+        if _mh.is_multihost() or self.mesh_spatial > 1:
+            from .parallel import make_mesh
+            if c.fold == "all":
+                raise NotImplementedError(
+                    "--fold all maps one fold per device and is exclusive "
+                    "with multi-host DP and mesh_spatial; run one fold per "
+                    "host/config with --fold k")
+            self.seg_mesh = make_mesh(spatial=self.mesh_spatial)
+            _mh.validate_global_batch(c.batch_size_segsr, self.seg_mesh,
+                                      what="batch_size_segsr")
         if _mh.is_multihost():
             from .parallel import make_mesh
             self.dp_mesh = make_mesh()
@@ -324,16 +353,23 @@ class Pipeline:
             # over every device of the mesh 'data' axis
             _mh.validate_global_batch(c.batch_size_sr, self.dp_mesh,
                                       what="batch_size_sr")
-            _mh.validate_global_batch(c.batch_size_segsr, self.dp_mesh,
-                                      what="batch_size_segsr")
-            if c.fold == "all":
-                raise NotImplementedError(
-                    "--fold all is single-host (one fold per local device); "
-                    "on a pod run one fold per host with --fold k")
             print(f"multi-host DP: {jax.process_count()} processes, "
                   f"{len(jax.devices())} global devices; host-side artifact "
                   f"writes/eval run on process 0 (tmp/checkpoint paths must "
                   f"be shared storage)")
+
+    def _agree(self, flag: bool) -> bool:
+        """Primary's filesystem-derived decision, broadcast pod-wide.
+
+        Stage-skip / resume branches must be identical on every host: on
+        shared network storage, attribute-cache skew can make
+        ``os.path.exists`` disagree across hosts, and one host taking an
+        early return while another enters the stage produces mismatched
+        collective barrier/save sequences (deadlock in
+        sync_global_devices). No-op single-host."""
+        if self.dp_mesh is None:
+            return bool(flag)
+        return self._mh.broadcast_scalar(1.0 if flag else 0.0) > 0.5
 
     # ------------------------------------------------------------ stage 0
 
@@ -367,7 +403,7 @@ class Pipeline:
             done = all(os.path.exists(os.path.join(
                 c.tmp_path, "smore_output",
                 s.replace(".nii.gz", "") + "_img.nii.gz")) for s in subjects)
-        if done and subjects:
+        if self._agree(done and bool(subjects)):
             return
 
         if not c.smore_initialization:
@@ -405,7 +441,7 @@ class Pipeline:
         n_steps = int(np.ceil(c.n_patches / c.batch_size_sr))
         tx, sched_sr = onecycle_adam(c.lr_sr, n_steps)
         state = TrainState.create(params, tx)
-        if ckpt.has_checkpoint(self.smore_ckpt):
+        if self._agree(ckpt.has_checkpoint(self.smore_ckpt)):
             print("NETWORK SMORE TRAINED, LOADING LAST WEIGHTS")
             state = ckpt.restore_checkpoint(self.smore_ckpt, state)
         if int(state.step) < n_steps:
@@ -515,13 +551,14 @@ class Pipeline:
         params = model.init(jax.random.key(0), x0)
         if c.pretrain_path and os.path.exists(c.pretrain_path):
             sd = torch_import.load_torch_state_dict(c.pretrain_path)
-            params, loaded, _ = torch_import.import_flavr(params, sd)
-            print(f"FLAVR warm start: loaded {len(loaded)} tensors")
+            params, loaded, report = torch_import.import_flavr(params, sd)
+            print(f"FLAVR warm start: loaded {len(loaded)} tensors "
+                  f"(match {report.match_rate:.0%})")
 
         n_steps = int(np.ceil(c.n_patches / c.batch_size_sr))
         tx, sched_sr = onecycle_adam(c.lr_sr, n_steps)
         state = TrainState.create(params, tx)
-        if ckpt.has_checkpoint(self.flavr_ckpt):
+        if self._agree(ckpt.has_checkpoint(self.flavr_ckpt)):
             print("NETWORK FLAVR TRAINED, LOADING LAST WEIGHTS")
             state = ckpt.restore_checkpoint(self.flavr_ckpt, state)
         if int(state.step) < n_steps:
@@ -619,7 +656,7 @@ class Pipeline:
         # deliberate fix of reference quirk Q2: warm-start the UASR model
         # from the trained stage-1b FLAVR (dropping outconv/feature_fuse —
         # the reference's intended key filter, train_all.py:429-435)
-        if ckpt.has_checkpoint(self.flavr_ckpt):
+        if self._agree(ckpt.has_checkpoint(self.flavr_ckpt)):
             flavr_plain = self._make_flavr(False)
             plain_params = flavr_plain.init(jax.random.key(0), x0)
             tx0, _ = onecycle_adam(c.lr_sr, 1)
@@ -639,7 +676,7 @@ class Pipeline:
         n_steps = int(c.uncertainty_steps)
         tx, sched_sr = onecycle_adam(c.lr_sr, n_steps)
         state = TrainState.create(params, tx)
-        if ckpt.has_checkpoint(self.flavr_unc_ckpt):
+        if self._agree(ckpt.has_checkpoint(self.flavr_unc_ckpt)):
             state = ckpt.restore_checkpoint(self.flavr_unc_ckpt, state)
         if int(state.step) < n_steps:
             print("TRAINING NETWORK FLAVR WITH UNCERTAINTY")
@@ -725,10 +762,16 @@ class Pipeline:
                                   "checkpoint_final.pth")
         if os.path.exists(resume_seg):
             sd = torch_import.load_torch_state_dict(resume_seg)
-            seg_params, loaded, _ = torch_import.import_segmodel(
-                seg_params, sd, arch)
+            # fail-loud on a <90% key match unless the config opts out —
+            # a silently-partial nnUNet warm start trains from random
+            # weights while claiming otherwise (VERDICT r3 weak #4)
+            ap = (self.cfg.extra or {}).get("allow_partial_warmstart")
+            seg_params, loaded, report = torch_import.import_segmodel(
+                seg_params, sd, arch,
+                allow_partial=bool(ap) if ap is not None else None)
             print(f"nnUNet warm start (fold {fold}): "
-                  f"loaded {len(loaded)} tensors")
+                  f"loaded {len(loaded)} tensors "
+                  f"(match {report.match_rate:.0%})")
         return seg_params
 
     def _make_distiller(self, arch):
@@ -755,9 +798,9 @@ class Pipeline:
         tx0, _ = onecycle_adam(c.lr_sr, 1)
         fstate = TrainState.create(fp, tx0)
         src = (self.flavr_unc_ckpt
-               if ckpt.has_checkpoint(self.flavr_unc_ckpt)
+               if self._agree(ckpt.has_checkpoint(self.flavr_unc_ckpt))
                else self.flavr_ckpt)
-        if ckpt.has_checkpoint(src):
+        if self._agree(ckpt.has_checkpoint(src)):
             fstate = ckpt.restore_checkpoint(src, fstate)
         return flavr_model, fstate.params
 
@@ -808,7 +851,7 @@ class Pipeline:
             from .train.optim import nesterov_sgd_grouped
             tx = nesterov_sgd_grouped(c.lr_segsr, sched)
         state = TrainState.create(params, tx)
-        if ckpt.has_checkpoint(self.segsr_ckpt):
+        if self._agree(ckpt.has_checkpoint(self.segsr_ckpt)):
             state = ckpt.restore_checkpoint(self.segsr_ckpt, state)
 
         step_fn = make_seg_train_step(
@@ -819,15 +862,21 @@ class Pipeline:
             precision=self.precision)
 
         total_steps = c.epochs * iters_per_epoch
-        if self.dp_mesh is not None:
-            # multi-host DP: replicate state + frozen teacher globally; each
-            # host's batch slice is assembled into a global sharded array in
-            # the loop below (grads all-reduce inside the jitted step)
-            state = self._mh.replicate_global(state, self.dp_mesh)
+        batch_spec = None
+        if self.seg_mesh is not None:
+            # multi-host DP and/or spatial sharding: replicate state + the
+            # frozen teacher over the (data, spatial) mesh; batches shard
+            # batch-dim over 'data' and the patch H dim over 'spatial'
+            # (grad all-reduce and conv halo exchanges both come from XLA's
+            # SPMD partitioner inside the same jitted step)
+            from jax.sharding import PartitionSpec as P
+            batch_spec = (P("data", None, "spatial")
+                          if self.mesh_spatial > 1 else P("data"))
+            state = self._mh.replicate_any(state, self.seg_mesh)
             if flavr_params is not None:
-                flavr_params = self._mh.replicate_global(
-                    flavr_params, self.dp_mesh)
-            aug_key = self._mh.globalize_key(aug_key, self.dp_mesh)
+                flavr_params = self._mh.replicate_any(
+                    flavr_params, self.seg_mesh)
+            aug_key = self._mh.globalize_key(aug_key, self.seg_mesh)
         best_dice = 0.0
         mlog = MetricsLogger(self.segsr_ckpt)
         timer = StepTimer()
@@ -850,8 +899,8 @@ class Pipeline:
                   raise TrainingPreempted(int(state.step))
               timer.start()
               b = loader.next()
-              if self.dp_mesh is not None:
-                  b = self._mh.globalize_batch(b, self.dp_mesh)
+              if self.seg_mesh is not None:
+                  b = self._mh.place_global(b, self.seg_mesh, batch_spec)
               if aug_fn is not None:
                   aug_key, sub = jax.random.split(aug_key)
                   img_a, llr_a, lhr_a, unc_a = aug_fn(
@@ -875,10 +924,11 @@ class Pipeline:
                       if self._mh.is_primary():
                           seg_p = (state.params["seg"]
                                    if c.enable_distillation else state.params)
-                          if self.dp_mesh is not None:
+                          if self.seg_mesh is not None:
                               # eval is primary-only host work; the
                               # localized copy keeps the eval jits
-                              # collective-free, and the dice broadcasts so
+                              # collective-free (and single-device on a
+                              # spatial mesh), and the dice broadcasts so
                               # the COLLECTIVE best-tag orbax save below
                               # runs on every process in lockstep
                               seg_p = self._mh.localize(seg_p)
@@ -901,6 +951,15 @@ class Pipeline:
                                                step="best")
                       best_dice = max(best_dice, val_dice)
                   ckpt.save_checkpoint(self.segsr_ckpt, state)
+            # pod-agreed final check: a SIGTERM during the last (up to) 9
+            # steps must still checkpoint-and-stop (collective checks above
+            # only run every 10 steps in multi-host mode)
+            stop = guard.should_stop
+            if self.dp_mesh is not None:
+                stop = self._mh.any_flag(stop)
+            if stop:
+                ckpt.save_checkpoint(self.segsr_ckpt, state)
+                raise TrainingPreempted(int(state.step))
         finally:
             # close on ANY exit (step_fn/evaluate/checkpoint errors included)
             # so the prefetch worker thread never leaks

@@ -82,10 +82,53 @@ def _set(tree: dict, path: tuple, value: np.ndarray) -> bool:
     return True
 
 
+# torch buffer keys that are never model weights (BatchNorm running stats,
+# counters) — excluded from the match-rate denominator
+_NON_WEIGHT = ("num_batches_tracked", "running_mean", "running_var")
+
+
+class ImportReport(list):
+    """Diagnostics of one checkpoint import. Subclasses list (contents =
+    the skipped mapping keys) for backward compatibility with the
+    ``params, loaded, skipped`` unpacking; carries the full report:
+
+      loaded_keys    — torch keys whose tensors landed in the flax tree
+      unconsumed     — torch WEIGHT keys present in the checkpoint that no
+                       mapping entry consumed (the layout-mismatch signal)
+      match_rate     — loaded / (loaded + unconsumed)
+
+    The reference warm-starts with silent strict=False drop-filtering
+    (train_all.py:350-356, 496-499); a silent partial match on an nnUNet
+    checkpoint would warm-start fewer tensors than intended, so importers
+    fail on match_rate < 0.9 unless allow_partial=True."""
+
+    def __init__(self, skipped, loaded_keys, unconsumed):
+        super().__init__(skipped)
+        self.loaded_keys = list(loaded_keys)
+        self.unconsumed = list(unconsumed)
+        denom = len(self.loaded_keys) + len(self.unconsumed)
+        self.match_rate = (len(self.loaded_keys) / denom) if denom else 1.0
+
+    def summary(self) -> str:
+        lines = [f"torch_import: loaded {len(self.loaded_keys)} tensors, "
+                 f"match_rate={self.match_rate:.2%}"]
+        if self.unconsumed:
+            lines.append(f"  UNCONSUMED checkpoint keys ({len(self.unconsumed)}):")
+            lines += [f"    {k}" for k in self.unconsumed[:20]]
+            if len(self.unconsumed) > 20:
+                lines.append(f"    ... and {len(self.unconsumed) - 20} more")
+        if list(self):
+            lines.append(f"  unfilled mapping entries ({len(self)}): "
+                         + ", ".join(list(self)[:10])
+                         + (" ..." if len(self) > 10 else ""))
+        return "\n".join(lines)
+
+
 def _apply_mapping(flax_params, sd: dict, mapping: dict[str, tuple],
-                   verbose: bool = False):
-    """mapping: torch_key -> (flax_path_tuple, converter). Returns new params
-    and stats (loaded, skipped)."""
+                   verbose: bool = False, allow_partial: bool = True,
+                   what: str = "checkpoint"):
+    """mapping: torch_key -> (flax_path_tuple, converter). Returns
+    (new_params, loaded_keys, ImportReport)."""
     params = flax.core.unfreeze(flax_params)
     tree = params["params"] if "params" in params else params
     loaded, skipped = [], []
@@ -95,9 +138,22 @@ def _apply_mapping(flax_params, sd: dict, mapping: dict[str, tuple],
             continue
         ok = _set(tree, path, conv(sd[tk]))
         (loaded if ok else skipped).append(tk)
-    if verbose and skipped:
-        print(f"torch_import: skipped {len(skipped)} keys, loaded {len(loaded)}")
-    return params, loaded, skipped
+    consumed = set(loaded)
+    unconsumed = [k for k in sd
+                  if k not in consumed
+                  and not any(s in k for s in _NON_WEIGHT)
+                  and getattr(np.asarray(sd[k]), "ndim", 0) > 0]
+    report = ImportReport(skipped, loaded, unconsumed)
+    if verbose and (report.unconsumed or skipped):
+        print(report.summary())
+    if not allow_partial and report.match_rate < 0.9:
+        raise ValueError(
+            f"{what} import matched only {report.match_rate:.0%} of the "
+            f"checkpoint's weight tensors — the key layout is probably not "
+            f"what this importer expects. Pass allow_partial=True to "
+            f"warm-start anyway (reference strict=False semantics).\n"
+            + report.summary())
+    return params, loaded, report
 
 
 # ------------------------------------------------------------------- FLAVR
@@ -148,11 +204,17 @@ def flavr_mapping(use_uncertainty: bool) -> dict:
 
 def import_flavr(flax_params, sd: dict, drop=("encoder.stem.0", "outconv.1",
                                               "feature_fuse"),
-                 use_uncertainty: bool = False, verbose: bool = True):
-    """FLAVR warm start with the reference drop filters (train_all.py:350-356)."""
+                 use_uncertainty: bool = False, verbose: bool = True,
+                 allow_partial: bool = True):
+    """FLAVR warm start with the reference drop filters (train_all.py:350-356).
+
+    allow_partial defaults True: the reference deliberately drop-filters
+    head keys when re-purposing the public FLAVR_4x checkpoint, so partial
+    matches are the expected case (quirk parity). The report still prints.
+    """
     sd = drop_keys(strip_module_prefix(sd), drop or ())
     return _apply_mapping(flax_params, sd, flavr_mapping(use_uncertainty),
-                          verbose)
+                          verbose, allow_partial=allow_partial, what="FLAVR")
 
 
 # ------------------------------------------------------------------ SegModel
@@ -194,10 +256,26 @@ def segmodel_mapping(arch: dict) -> dict:
     return m
 
 
-def import_segmodel(flax_params, sd: dict, arch: dict, verbose: bool = True):
-    """nnUNet checkpoint import, strict=False (train_all.py:496-499)."""
+def import_segmodel(flax_params, sd: dict, arch: dict, verbose: bool = True,
+                    allow_partial: bool | None = None):
+    """nnUNet checkpoint import (train_all.py:496-499).
+
+    The reference loads strict=False and silently drops whatever doesn't
+    match — quirk parity for FLAVR, but a footgun for nnUNet where EVERY
+    backbone tensor is expected to land: a silently-partial warm start
+    trains from mostly-random weights while claiming a warm start. Default
+    is therefore fail-loud on <90% match; pass allow_partial=True to keep
+    the reference's permissive semantics. Small synthetic state dicts
+    (fewer keys than the model — tests/tools) auto-allow, since partial is
+    then self-evidently intended."""
     sd = strip_module_prefix(sd)
-    return _apply_mapping(flax_params, sd, segmodel_mapping(arch), verbose)
+    mapping = segmodel_mapping(arch)
+    if allow_partial is None:
+        n_weightish = sum(1 for k in sd
+                          if not any(s in k for s in _NON_WEIGHT))
+        allow_partial = n_weightish < len(mapping) // 2
+    return _apply_mapping(flax_params, sd, mapping, verbose,
+                          allow_partial=allow_partial, what="nnUNet SegModel")
 
 
 # --------------------------------------------------------------------- WDSR
@@ -222,6 +300,7 @@ def wdsr_mapping(n_resblocks: int) -> dict:
 
 
 def import_wdsr(flax_params, sd: dict, n_resblocks: int = 16,
-                verbose: bool = True):
+                verbose: bool = True, allow_partial: bool = True):
     sd = strip_module_prefix(sd)
-    return _apply_mapping(flax_params, sd, wdsr_mapping(n_resblocks), verbose)
+    return _apply_mapping(flax_params, sd, wdsr_mapping(n_resblocks), verbose,
+                          allow_partial=allow_partial, what="WDSR")

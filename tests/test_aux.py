@@ -156,6 +156,62 @@ def test_torch_import_wdsr(rng):
     assert np.allclose(np.asarray(new["params"]["head"]["g"]), wg.reshape(-1))
 
 
+def test_torch_import_report_and_fail_loud(rng):
+    """Importers return an ImportReport; a layout-mismatched nnUNet
+    checkpoint fails loudly instead of silently warm-starting a few
+    tensors (VERDICT r3 weak #4)."""
+    import pytest
+    from rehrseg_tpu.models import SegModel
+    from rehrseg_tpu.train import torch_import as ti
+    from tests.test_models import SMALL_ARCH
+
+    model = SegModel(num_classes=2, upscale=4, arch=SMALL_ARCH)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 4, 16, 16, 1)))
+
+    # a "real-sized" checkpoint whose keys match nothing we expect
+    bogus = {f"model.backbone.layer{i}.weight":
+             rng.normal(size=(4, 4, 3, 3, 3)).astype(np.float32)
+             for i in range(40)}
+    with pytest.raises(ValueError, match="matched only"):
+        ti.import_segmodel(params, bogus, SMALL_ARCH, verbose=False,
+                           allow_partial=False)
+    # permissive mode keeps reference strict=False semantics
+    _, loaded, report = ti.import_segmodel(params, bogus, SMALL_ARCH,
+                                           verbose=False, allow_partial=True)
+    assert loaded == []
+    assert report.match_rate == 0.0
+    assert len(report.unconsumed) == 40
+    assert "UNCONSUMED" in report.summary()
+
+    # small synthetic dicts (fewer keys than the model) auto-allow partial
+    w = rng.normal(size=(8, 1, 1, 3, 3)).astype(np.float32)
+    _, loaded, report = ti.import_segmodel(
+        params, {"encoder.stages.0.convs.0.conv.weight": w}, SMALL_ARCH,
+        verbose=False)
+    assert len(loaded) == 1 and report.match_rate == 1.0
+    # non-weight buffers don't count against the match rate
+    _, _, report = ti.import_segmodel(
+        params, {"encoder.stages.0.convs.0.conv.weight": w,
+                 "encoder.stages.0.convs.0.norm.num_batches_tracked":
+                 np.asarray([3])}, SMALL_ARCH, verbose=False)
+    assert report.match_rate == 1.0
+
+
+def test_pod_consistency_check(monkeypatch):
+    """assert_pod_consistency fails loudly when the TPU pod env names
+    several hosts but jax.distributed never spanned them."""
+    import pytest
+    from rehrseg_tpu.parallel import distributed as dist
+
+    monkeypatch.delenv("TPU_WORKER_HOSTNAMES", raising=False)
+    dist.assert_pod_consistency()  # no env → no-op
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host-a")
+    dist.assert_pod_consistency()  # single host → fine
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host-a,host-b,host-c,host-d")
+    with pytest.raises(RuntimeError, match="lists 4 hosts"):
+        dist.assert_pod_consistency()
+
+
 def test_config_loading(tmp_path):
     from rehrseg_tpu.config import load_config
     cfg_yaml = tmp_path / "c.yaml"

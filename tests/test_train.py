@@ -183,3 +183,67 @@ def test_teacher_window_chunking_matches_full(rng):
     full = flavr_teacher_features(flavr, fparams, img, lab)
     chunked = flavr_teacher_features(flavr, fparams, img, lab, window_chunk=4)
     assert np.allclose(np.asarray(full), np.asarray(chunked), atol=1e-5)
+
+
+def test_spatial_sharded_seg_step(rng):
+    """Stage-2 training over a (data=4, spatial=2) mesh — the pipeline's
+    extra.mesh_spatial path (parallel.multihost.place_global /
+    replicate_any): batch shards over 'data', the patch H dim over
+    'spatial' (XLA inserts conv halo exchanges), and the step matches the
+    unsharded step to float tolerance. This is the TPU answer to patches
+    whose activations exceed one chip's HBM (SURVEY §5)."""
+    from jax.sharding import PartitionSpec as P
+    from rehrseg_tpu.parallel import multihost as mh
+
+    assert len(jax.devices()) == 8
+    mesh = make_mesh(spatial=2)
+    assert dict(mesh.shape) == {"data": 4, "spatial": 2}
+
+    seg = SegModel(num_classes=2, upscale=4, arch=SMALL_ARCH)
+    flavr = UNet3D(img_channels=2, n_inputs=4, n_outputs=4)
+    dist = Distiller(student_dim=16, teacher_dim=64, lambda_l1=0.0,
+                     lambda_cosine=1.0, lambda_structure=1.0)
+
+    b, d, h, w = 4, 4, 32, 32
+    img = rng.normal(size=(b, d, h, w, 1)).astype(np.float32)
+    lab_lr = (rng.normal(size=(b, d, h, w, 1)) > 0).astype(np.float32)
+    lab_hr = (rng.normal(size=(b, d * 4, h, w, 1)) > 0).astype(np.float32)
+    unc = rng.uniform(0.5, 1.0, size=(b, d, h, w, 1)).astype(np.float32)
+
+    seg_params = seg.init(jax.random.key(0), jnp.asarray(img[:1]))
+    fparams = flavr.init(jax.random.key(1), jnp.zeros((1, 4, h, w, 2)))
+    dparams = dist.init(jax.random.key(2),
+                        jnp.zeros((1, d, h // 2, w // 2, 16)),
+                        jnp.zeros((1, d, h // 2, w // 2, 64)))
+    tx = nesterov_sgd(poly_epoch_schedule(1e-3, 10, 5))
+    params = {"seg": seg_params, "distiller": dparams}
+
+    step = make_seg_train_step(seg, tx, enable_uncertainty=True,
+                               enable_distillation=True, flavr_model=flavr,
+                               distiller=dist, donate=False)
+
+    # unsharded baseline
+    state0 = TrainState.create(params, tx)
+    batch0 = SegBatch(*(jnp.asarray(a) for a in (img, lab_lr, lab_hr, unc)))
+    ref_state, ref_m = step(state0, fparams, batch0)
+
+    # sharded: exactly the pipeline's placement calls
+    spec = P("data", None, "spatial")
+    state1 = mh.replicate_any(TrainState.create(params, tx), mesh)
+    fparams_r = mh.replicate_any(fparams, mesh)
+    batch1 = SegBatch(**mh.place_global(
+        {"img": img, "label_lr": lab_lr, "label_hr": lab_hr,
+         "uncertainty_lr": unc}, mesh, spec))
+    sh_state, sh_m = step(state1, fparams_r, batch1)
+
+    assert np.allclose(float(ref_m["loss"]), float(sh_m["loss"]),
+                       rtol=1e-6, atol=1e-6)
+    # SPMD reassociates reductions (psum of partial sums, halo-exchange
+    # conv order), so updated params agree to float tolerance, not bitwise
+    for pr, ps in zip(jax.tree.leaves(ref_state.params),
+                      jax.tree.leaves(sh_state.params)):
+        np.testing.assert_allclose(np.asarray(pr), np.asarray(ps),
+                                   rtol=5e-4, atol=1e-5)
+    # every device holds the full (replicated) params
+    leaf = jax.tree.leaves(sh_state.params)[0]
+    assert len(leaf.sharding.device_set) == 8
