@@ -423,6 +423,89 @@ def main():
     except Exception as e:
         dev_extra = {"seg_device_error": f"{type(e).__name__}"}
 
+    # aligned-grid engine: tile starts snapped to the fp32 plane tiling
+    # (H % 8, W % 128) + the fused Pallas unmirror/gauss/accumulate kernel
+    # (ops/pallas_tail.py) on per-class-plane model outputs. Same tile
+    # count and overlap structure as the parity grid; measured +6% device-
+    # resident over it (experiments/aligned_engine_bench.py).
+    al_extra = {}
+    try:
+        from rehrseg_tpu.infer.sliding_window import (
+            predict_sliding_window_labels_aligned_many,
+            _sliding_window_scan_aligned, aligned_sliding_window_starts)
+
+        def lr_fn_planes(p, batch):
+            return segmodel_apply_packed(arch, p,
+                                         batch.astype(COMPUTE_DTYPE),
+                                         pack_max_channels=64,
+                                         plane_out=True)
+
+        def run_al(volumes):
+            return predict_sliding_window_labels_aligned_many(
+                lr_fn_planes, params, volumes, PATCH,
+                tile_step_size=TILE_STEP, num_classes=2)
+
+        run_al(vols[:1])
+        al_times, al_peaks = _timed_trials(lambda: run_al(vols), 3)
+        al_times = [t / len(vols) for t in al_times]
+        dt_al, peak_al, _ = _best(al_times, al_peaks)
+        al_extra["aligned_voxps"] = round(voxels / dt_al, 1)
+        if flops_fwd > 0 and peak_al:
+            al_extra["aligned_mfu_vs_chip_peak"] = round(
+                flops_fwd * n_tiles / dt_al / 1e12 / peak_al, 3)
+
+        # device-resident aligned engine
+        starts_al, padded = aligned_sliding_window_starts(
+            vol_p.shape[:3], PATCH, TILE_STEP)
+        volp_al = np.pad(vol_p, [(0, padded[i] - vol_p.shape[i])
+                                 for i in range(3)] + [(0, 0)])
+        dev_al = jnp.asarray(volp_al.astype(np.float32), COMPUTE_DTYPE)
+        starts_al_d = jnp.asarray(starts_al)
+        consume0 = jax.jit(
+            lambda l: jnp.argmax(l, 0).astype(jnp.int32).sum())
+
+        def run_al_dev():
+            lg = _sliding_window_scan_aligned(
+                lr_fn_planes, params, dev_al, starts_al_d, g_dev, PATCH,
+                tuple(volp_al.shape[:3]), 1, 2, False)
+            return float(consume0(lg))
+
+        run_al_dev()
+        ad_times, ad_peaks = _timed_trials(run_al_dev, 3)
+        dt_ad, peak_ad, _ = _best(ad_times, ad_peaks)
+        al_extra["aligned_device_voxps"] = round(voxels / dt_ad, 1)
+        if flops_fwd > 0 and peak_ad:
+            al_extra["aligned_device_mfu_vs_chip_peak"] = round(
+                flops_fwd * n_tiles / dt_ad / 1e12 / peak_ad, 3)
+    except Exception as e:
+        al_extra = {"aligned_error": f"{type(e).__name__}"}
+
+    # the headline is the better of the two e2e engines (both compute the
+    # same gaussian sliding-window 8-TTA segmentation; "engine" records
+    # which won this capture)
+    if al_extra.get("aligned_voxps", 0) > voxps:
+        voxps = al_extra["aligned_voxps"]
+        dt = voxels / voxps
+        extra["engine"] = "aligned+pallas"
+        extra["parity_voxps"] = round(float(np.asarray(
+            extra["trials_voxps"]).max()), 1)
+        if flops_fwd > 0:
+            eq_tflops = flops_fwd * n_tiles / dt / 1e12
+            extra["eq_tflops"] = round(eq_tflops, 1)
+            if al_extra.get("aligned_mfu_vs_chip_peak"):
+                extra["mfu_vs_chip_peak"] = \
+                    al_extra["aligned_mfu_vs_chip_peak"]
+            vs_baseline = voxps / est_a100_voxps
+            if flops_raw > 0:
+                extra["raw_tflops"] = round(
+                    flops_raw * n_tiles / dt / 1e12, 1)
+                if extra.get("mfu_vs_chip_peak") and eq_tflops:
+                    extra["raw_mfu_vs_chip_peak"] = round(
+                        extra["mfu_vs_chip_peak"] * flops_raw / flops_fwd,
+                        3)
+    else:
+        extra["engine"] = "parity"
+
     # the full north star is "SR+seg voxels/sec/chip" (BASELINE.json):
     # stage-1 FLAVR volume SR + the one-pass dual LR+HR seg engine, plus
     # their serial composite (one new subject through SR then seg).
@@ -462,6 +545,7 @@ def main():
         "vs_baseline": round(vs_baseline, 3),
         **extra,
         **dev_extra,
+        **al_extra,
         **sr,
         **dual,
         **composite,

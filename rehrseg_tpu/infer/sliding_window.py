@@ -533,6 +533,202 @@ def predict_sliding_window_labels(model_fn: Callable, params,
     return np.asarray(_argmax_uint8(logits))
 
 
+# --------------------------------------------------------------- aligned grid
+#
+# The reference tile grid (compute_steps_for_sliding_window) yields starts
+# like W in {0, 124, 249} — offsets Mosaic cannot DMA to and XLA's
+# dynamic_update_slice handles via a masked slow path (measured 1.5x slower
+# than 128-aligned offsets, experiments/tail_fuse.py). The ALIGNED grid
+# snaps H starts to multiples of 8 and W starts to multiples of 128 (the
+# fp32 (H, W)-plane tiling), padding the volume just enough that the last
+# start still touches the far edge. Same tile count, same 0.5-step overlap
+# structure — NOT bit-identical to the reference grid, so it is opt-in
+# (tile_grid="aligned") and the parity grid stays the default.
+
+_ALIGN_HW = (8, 128)
+
+
+def aligned_sliding_window_starts(image_size, patch_size,
+                                  tile_step_size=0.5):
+    """Aligned tile grid. Returns (starts (N, 4) int32 rows of
+    (sx, sy, sz, valid), padded_size (D, H', W'))."""
+    steps = compute_steps_for_sliding_window(image_size, patch_size,
+                                             tile_step_size)
+    out_steps = [list(steps[0])]
+    padded = [int(image_size[0])]
+    for dim, snap in zip((1, 2), _ALIGN_HW):
+        n = len(steps[dim])
+        if n == 1:
+            out_steps.append([0])
+            padded.append(int(image_size[dim]))
+            continue
+        span = image_size[dim] - patch_size[dim]
+        span_pad = -(-span // snap) * snap
+        actual = span_pad / (n - 1)
+        ss = [int(np.round(actual * i / snap)) * snap for i in range(n)]
+        ss[-1] = span_pad
+        out_steps.append(sorted(set(ss)))
+        padded.append(int(patch_size[dim] + span_pad))
+    starts = [(sx, sy, sz, 1) for sx in out_steps[0] for sy in out_steps[1]
+              for sz in out_steps[2]]
+    return np.asarray(starts, dtype=np.int32), tuple(padded)
+
+
+def _mirror_batch_zgrouped(tile: jnp.ndarray):
+    from ..ops.pallas_tail import zgrouped_combos
+    return jnp.stack([jnp.flip(tile, axis=c) if c else tile
+                      for c in zgrouped_combos()])
+
+
+@partial(jax.jit, static_argnames=("model_fn", "patch_size", "out_shape",
+                                   "z_scale", "num_classes", "interpret"))
+def _sliding_window_scan_aligned(model_fn: Callable, params,
+                                 data: jnp.ndarray, starts: jnp.ndarray,
+                                 gaussian: jnp.ndarray, patch_size: tuple,
+                                 out_shape: tuple, z_scale: int,
+                                 num_classes: int, interpret: bool):
+    """Aligned-grid tile loop with the fused Pallas accumulate kernel.
+
+    model_fn(params, batch) must return per-class PLANES
+    (8, C, pd*z_scale, ph, pw) for a z-grouped mirror batch (the packed
+    model's plane_out=True). Accumulates into a (C, D*z_scale, H, W) fp32
+    buffer via ops.pallas_tail.accumulate_tta_tile — unmirror + mean +
+    gaussian + scatter-add in ONE pass over the predictions.
+    """
+    from ..ops.pallas_tail import accumulate_tta_tile
+
+    pd, ph, pw = patch_size
+    logits0 = jnp.zeros((num_classes, out_shape[0] * z_scale,
+                         out_shape[1], out_shape[2]), jnp.float32)
+
+    def tile_step(logits, start):
+        tile = lax.dynamic_slice(
+            data, (start[0], start[1], start[2], 0),
+            (pd, ph, pw, data.shape[-1]))
+        batch = _mirror_batch_zgrouped(tile)
+        preds = model_fn(params, batch)
+        logits = accumulate_tta_tile(logits, preds, gaussian, start,
+                                     z_scale=z_scale, interpret=interpret)
+        return logits, None
+
+    logits, _ = lax.scan(tile_step, logits0, starts)
+    return logits
+
+
+def _aligned_prep(data, patch_size, tile_step_size, use_gaussian,
+                  slice_separation, input_dtype, interpret):
+    patch_size = tuple(int(p) for p in patch_size)
+    starts, padded = aligned_sliding_window_starts(
+        data.shape[:3], patch_size, tile_step_size)
+    pads = [(0, padded[i] - data.shape[i]) for i in range(3)]
+    if any(p[1] for p in pads):
+        data = np.pad(data, pads + [(0, 0)])
+    g = _device_gaussian(
+        (patch_size[0] * slice_separation,) + patch_size[1:],
+        bool(use_gaussian))
+    dev = jnp.asarray(np.asarray(data, np.float32), dtype=input_dtype)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return dev, jnp.asarray(starts), g, patch_size, tuple(data.shape[:3]), \
+        bool(interpret)
+
+
+def predict_sliding_window_labels_aligned(model_fn: Callable, params,
+                                          data: np.ndarray, patch_size,
+                                          *, tile_step_size: float = 0.5,
+                                          use_gaussian: bool = True,
+                                          num_classes: int = 2,
+                                          input_dtype=jnp.bfloat16,
+                                          interpret: bool | None = None
+                                          ) -> np.ndarray:
+    """Aligned-grid label prediction (always 8-way mirror TTA — the fused
+    kernel is specialized to it). model_fn must emit per-class planes.
+    Returns (D, H, W) uint8 cropped to the input size."""
+    d0, h0, w0 = data.shape[:3]
+    dev, starts, g, patch_size, shape, interp = _aligned_prep(
+        data, patch_size, tile_step_size, use_gaussian, 1, input_dtype,
+        interpret)
+    logits = _sliding_window_scan_aligned(
+        model_fn, params, dev, starts, g, patch_size, shape, 1,
+        int(num_classes), interp)
+    lab = np.asarray(jax.jit(lambda l: jnp.argmax(l, 0).astype(jnp.uint8))(
+        logits))
+    return lab[:d0, :h0, :w0]
+
+
+_argmax0_uint8 = jax.jit(lambda l: jnp.argmax(l, 0).astype(jnp.uint8))
+
+
+def predict_sliding_window_labels_aligned_many(
+        model_fn: Callable, params, volumes, patch_size,
+        *, tile_step_size: float = 0.5, use_gaussian: bool = True,
+        num_classes: int = 2, input_dtype=jnp.bfloat16,
+        interpret: bool | None = None):
+    """Throughput-oriented multi-volume aligned-grid prediction: all scans
+    are dispatched before any label fetch, so uploads/fetches overlap
+    device compute (the aligned analogue of
+    :func:`predict_sliding_window_labels_many`)."""
+    pending = []
+    shapes = []
+    for data in volumes:
+        shapes.append(data.shape[:3])
+        dev, starts, g, patch, shape, interp = _aligned_prep(
+            data, patch_size, tile_step_size, use_gaussian, 1, input_dtype,
+            interpret)
+        logits = _sliding_window_scan_aligned(
+            model_fn, params, dev, starts, g, patch, shape, 1,
+            int(num_classes), interp)
+        pending.append(_argmax0_uint8(logits))
+    return [np.asarray(p)[:s[0], :s[1], :s[2]]
+            for p, s in zip(pending, shapes)]
+
+
+def predict_sliding_window_dual_labels_aligned(
+        model_fn: Callable, params, data: np.ndarray, patch_size,
+        *, slice_separation: int, tile_step_size: float = 0.5,
+        use_gaussian: bool = True, num_classes: int = 2,
+        input_dtype=jnp.bfloat16, interpret: bool | None = None):
+    """One-pass aligned-grid LR+HR prediction with the fused kernel on both
+    heads. model_fn returns (lr_planes, hr_planes). Returns
+    (lr_labels, hr_labels) uint8 cropped to the input size."""
+    from ..ops.pallas_tail import accumulate_tta_tile
+
+    d0, h0, w0 = data.shape[:3]
+    sep = int(slice_separation)
+    dev, starts, g_hr, patch_size, shape, interp = _aligned_prep(
+        data, patch_size, tile_step_size, use_gaussian, sep, input_dtype,
+        interpret)
+    g_lr = _device_gaussian(patch_size, bool(use_gaussian))
+    pd, ph, pw = patch_size
+
+    @partial(jax.jit, static_argnames=())
+    def run(dev_data, starts_d):
+        llr0 = jnp.zeros((num_classes, *shape), jnp.float32)
+        lhr0 = jnp.zeros((num_classes, shape[0] * sep, shape[1], shape[2]),
+                         jnp.float32)
+
+        def tile_step(carry, start):
+            llr, lhr = carry
+            tile = lax.dynamic_slice(
+                dev_data, (start[0], start[1], start[2], 0),
+                (pd, ph, pw, dev_data.shape[-1]))
+            batch = _mirror_batch_zgrouped(tile)
+            p_lr, p_hr = model_fn(params, batch)
+            llr = accumulate_tta_tile(llr, p_lr, g_lr, start, z_scale=1,
+                                      interpret=interp)
+            lhr = accumulate_tta_tile(lhr, p_hr, g_hr, start, z_scale=sep,
+                                      interpret=interp)
+            return (llr, lhr), None
+
+        (llr, lhr), _ = lax.scan(tile_step, (llr0, lhr0), starts_d)
+        return (jnp.argmax(llr, 0).astype(jnp.uint8),
+                jnp.argmax(lhr, 0).astype(jnp.uint8))
+
+    lab_lr, lab_hr = run(dev, starts)
+    return (np.asarray(lab_lr)[:d0, :h0, :w0],
+            np.asarray(lab_hr)[:d0 * sep, :h0, :w0])
+
+
 def evaluate_case_volume(model_fn: Callable, params, volume: np.ndarray,
                          label: np.ndarray | None, patch_size,
                          *, slice_separation: int = 1,

@@ -191,7 +191,7 @@ def _conv_norm_act(x, layout, cp, kernel, stride, feats, a, *,
 def segmodel_apply_packed(arch: dict, params, x, *, num_classes: int = 2,
                           upscale: int = 4, pack_max_channels: int = 128,
                           dual: bool = False, return_skips: bool = False,
-                          remat: bool = False):
+                          remat: bool = False, plane_out: bool = False):
     """Forward identical to SegModel.apply (models/segnet.py:176-186) with
     packed high-res stages. Returns lr_logits, (lr_logits, hr_logits) when
     ``dual``, or (lr, hr, skips) when ``return_skips`` (the KD student
@@ -206,7 +206,13 @@ def segmodel_apply_packed(arch: dict, params, x, *, num_classes: int = 2,
     boundaries (the skips), which is what makes training at real
     plans.json patch sizes fit in 16 GB HBM (measured: the un-remat
     fwd+bwd at batch 2 x (16,256,320) wants 45.8 GB). Exact math —
-    rematerialization only recomputes."""
+    rematerialization only recomputes.
+
+    plane_out: emit logits as per-class PLANES (B, C, D, H, W) instead of
+    channel-last — the layout the aligned-grid Pallas accumulate kernel
+    consumes (ops/pallas_tail.py). Costs NOTHING extra on the packed path:
+    the final depth_to_space simply runs per class (packed channel order
+    is (cell, class), so class c's four cells are ``lg[..., c::C]``)."""
     a = dict(arch)
     n = a["n_stages"]
     feats = a["features_per_stage"]
@@ -321,6 +327,7 @@ def segmodel_apply_packed(arch: dict, params, x, *, num_classes: int = 2,
         if s == n - 2:
             wseg = pdec[f"seg_layer_{s}"]["kernel"]
             bseg = pdec[f"seg_layer_{s}"]["bias"]
+            n_cls = wseg.shape[-1]
             if layout in ("a", "o"):
                 # pointwise seg head in packed space; unpack only the tiny
                 # (num_classes-channel) logits, not the 32-ch features
@@ -330,9 +337,18 @@ def segmodel_apply_packed(arch: dict, params, x, *, num_classes: int = 2,
                 lg = lg + pack_bias(bseg)
                 if layout == "o":
                     lg = _mask_offset(lg, wseg.shape[-1])
-                seg_logits = _unpack(lg, layout)
+                if plane_out:
+                    # per-class depth_to_space (packed channel order is
+                    # (cell, class)) — same total traffic as one d2s
+                    seg_logits = jnp.stack(
+                        [_unpack(lg[..., c::n_cls], layout)[..., 0]
+                         for c in range(n_cls)], axis=1)
+                else:
+                    seg_logits = _unpack(lg, layout)
             else:
                 seg_logits = _conv_std(cur, wseg, bseg, (1, 1, 1))
+                if plane_out:
+                    seg_logits = jnp.moveaxis(seg_logits, -1, 1)
             features, features_layout = cur, layout
         lres, lres_layout = cur, layout
 
@@ -355,11 +371,18 @@ def segmodel_apply_packed(arch: dict, params, x, *, num_classes: int = 2,
             h1 = conv_packed(up, wp1, pack_bias(b1_), hw_pad="pad11")
             h1 = _mask_offset(jax.nn.relu(h1), w1_.shape[-1])
             wp2 = pack_conv_weights(w2_)     # 5x5 -> (4,4) cells, o -> a
-            return depth_to_space_hw(conv_packed(h1, wp2, pack_bias(b2_)))
+            out = conv_packed(h1, wp2, pack_bias(b2_))
+            if plane_out:
+                ncl = w2_.shape[-1]
+                return jnp.stack(
+                    [depth_to_space_hw(out[..., c::ncl])[..., 0]
+                     for c in range(ncl)], axis=1)
+            return depth_to_space_hw(out)
         f = _unpack(feats_in, features_layout)
         up = upsample_axis_linear(f, upscale, axis=1, align_corners=True)
         h1 = jax.nn.relu(_conv_std(up, w1_, b1_, (1, 1, 1)))
-        return _conv_std(h1, w2_, b2_, (1, 1, 1))
+        hr_ = _conv_std(h1, w2_, b2_, (1, 1, 1))
+        return jnp.moveaxis(hr_, -1, 1) if plane_out else hr_
 
     hr = maybe_ckpt(sr_head)(features, w1, b1, w2, b2)
     if return_skips:

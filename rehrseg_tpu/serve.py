@@ -44,6 +44,12 @@ class Segmenter:
     mirror: bool = True
     tile_step_size: float = 0.5
     packed_eval: bool = True
+    # "parity" = the reference-bit-identical tile grid; "aligned" = starts
+    # snapped to (H % 8, W % 128) + the fused Pallas accumulate kernel —
+    # measured +6% device throughput, same tile count/overlap structure
+    # (infer/sliding_window.py aligned section). Requires packed_eval and
+    # 8-way mirror; incompatible with streaming/mesh.
+    tile_grid: str = "parity"
     # jax.sharding.Mesh: 'data' shards TTA, 'spatial' halo-shards tile H
     # across chips (LR path; see infer.sliding_window)
     mesh: object = None
@@ -59,6 +65,15 @@ class Segmenter:
                 "streaming z-slabs and mesh sharding are separate >HBM "
                 "strategies and do not compose yet — pick one (a streamed "
                 "slab would silently run on a single chip)")
+        if self.tile_grid not in ("parity", "aligned"):
+            raise ValueError(f"tile_grid must be 'parity' or 'aligned', "
+                             f"got {self.tile_grid!r}")
+        if self.tile_grid == "aligned" and (
+                not self.packed_eval or not self.mirror
+                or self.streaming or self.mesh is not None):
+            raise ValueError(
+                "tile_grid='aligned' requires packed_eval + mirror TTA and "
+                "does not compose with streaming or mesh sharding")
         self.params = jax.tree.map(
             lambda a: jnp.asarray(a, dtype=self.compute_dtype), self.params)
         model = self.model
@@ -90,6 +105,24 @@ class Segmenter:
         self._lr_fn = lr_fn
         self._dual_fn = dual_fn
 
+        if self.tile_grid == "aligned":
+            from .models.segnet_packed import segmodel_apply_packed
+            arch_p = dict(model.arch)
+
+            def lr_fn_planes(p, batch):
+                return segmodel_apply_packed(
+                    arch_p, p, batch.astype(self.compute_dtype),
+                    pack_max_channels=64, plane_out=True)
+
+            def dual_fn_planes(p, batch):
+                return segmodel_apply_packed(
+                    arch_p, p, batch.astype(self.compute_dtype),
+                    pack_max_channels=64, dual=True,
+                    upscale=model.upscale, plane_out=True)
+
+            self._lr_fn_planes = lr_fn_planes
+            self._dual_fn_planes = dual_fn_planes
+
     # ------------------------------------------------------------- core
 
     def _prep(self, volume_zyx: np.ndarray):
@@ -101,6 +134,23 @@ class Segmenter:
     def segment(self, volume_zyx: np.ndarray, hr: bool = False):
         """volume: (z, y, x). Returns LR uint8 mask, or (lr, hr) with hr."""
         vol_p, pads = self._prep(volume_zyx)
+        if self.tile_grid == "aligned":
+            from .infer.sliding_window import (
+                predict_sliding_window_labels_aligned,
+                predict_sliding_window_dual_labels_aligned)
+            if hr:
+                lr_full, hr_full = predict_sliding_window_dual_labels_aligned(
+                    self._dual_fn_planes, self.params, vol_p,
+                    self.patch_size,
+                    slice_separation=self.slice_separation,
+                    tile_step_size=self.tile_step_size)
+                sep = self.slice_separation
+                hr_pads = ((pads[0][0] * sep, pads[0][1] * sep),) + pads[1:3]
+                return crop(lr_full, pads[:3]), crop(hr_full, hr_pads)
+            pred = predict_sliding_window_labels_aligned(
+                self._lr_fn_planes, self.params, vol_p, self.patch_size,
+                tile_step_size=self.tile_step_size)
+            return crop(pred, pads[:3])
         if hr:
             if self.streaming:
                 lr_full, hr_full = predict_sliding_window_dual_labels_streamed(

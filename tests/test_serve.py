@@ -203,3 +203,32 @@ def test_sr_serving_cli(tmp_path, rng, monkeypatch):
     sr = load_sr_from_checkpoint(ckpt_dir, compute_dtype=jnp.bfloat16)
     sr.sr_file(in_path, str(tmp_path / "case_bf16"))
     assert (tmp_path / "case_bf16_img.nii.gz").exists()
+
+
+def test_segmenter_aligned_tile_grid(rng):
+    """Segmenter(tile_grid='aligned') runs the fused-kernel engine
+    (interpret mode on CPU) and agrees with the parity engine on a
+    structured volume whose grids coincide."""
+    import pytest
+    model = SegModel(num_classes=2, upscale=4, arch=SMALL_ARCH)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 4, 16, 16, 1)))
+    vol = np.zeros((6, 24, 16), np.float32)
+    vol[2:5, 8:20, 4:12] = 3.0
+    vol += 0.05 * rng.normal(size=vol.shape).astype(np.float32)
+
+    parity = Segmenter(model=model, params=params, patch_size=(4, 16, 16),
+                       slice_separation=4, mirror=True)
+    aligned = Segmenter(model=model, params=params, patch_size=(4, 16, 16),
+                        slice_separation=4, mirror=True,
+                        tile_grid="aligned")
+    lr_p, hr_p = parity.segment(vol, hr=True)
+    lr_a, hr_a = aligned.segment(vol, hr=True)
+    assert lr_a.shape == lr_p.shape and hr_a.shape == hr_p.shape
+    assert np.mean(lr_a != lr_p) < 1e-3
+    # HR: the bf16-rounded gaussian shifts near-tie argmaxes on a
+    # random-init model; real checkpoints produce decisive logits
+    assert np.mean(hr_a != hr_p) < 5e-3
+
+    with pytest.raises(ValueError, match="aligned"):
+        Segmenter(model=model, params=params, patch_size=(4, 16, 16),
+                  mirror=False, tile_grid="aligned")
