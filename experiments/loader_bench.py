@@ -80,7 +80,9 @@ def make_data():
     return merged, segsr
 
 
-def host_rate(name, loader, batch, n=12):
+def host_rate(name, loader, batch, n=8):
+    # direct (threadless) BatchLoader timing: deterministic on the 1-core
+    # host, where a prefetch thread only adds scheduling noise
     loader.next()
     t0 = time.perf_counter()
     for _ in range(n):
@@ -110,8 +112,7 @@ def main():
     for name, kw in variants:
         ds = SRPatchDataset(merged, subs, 4.0, 1.0, None, "rf-pulse-slr",
                             STAGE1_PATCH, True, blur=True, **kw)
-        rates[name] = host_rate(
-            name, PrefetchLoader(BatchLoader(ds, B1)), B1)
+        rates[name] = host_rate(name, BatchLoader(ds, B1), B1)
 
     # ---------------- B: loader-inclusive stage-1 step (device-sim path)
     model = UNet3D(img_channels=2, n_inputs=4, n_outputs=4,
@@ -120,8 +121,10 @@ def main():
                         STAGE1_PATCH, True, blur=True, device_lr_sim=True)
     loader = PrefetchLoader(BatchLoader(ds, B1))
     lr0, hr0 = loader.next()
+    # device_lr_sim batches carry the pre-resize LR SOURCE; the model
+    # consumes the 4-slice LR window it produces
     params = jax.jit(model.init)(jax.random.key(0),
-                                 jnp.asarray(lr0))
+                                 jnp.zeros((1, 4, 96, 96, 2)))
     tx, _ = onecycle_adam(5e-4, 1000)
     step = make_sr_train_step(model, tx, enable_uncertainty=True,
                               slice_separation=4, num_slices=4,
@@ -158,7 +161,7 @@ def main():
                        True, device_augment=True)
     rates["stage2 host prep (crop/flip, device-augment default)"] = \
         host_rate("stage2 host prep (crop/flip, device-augment default)",
-                  PrefetchLoader(BatchLoader(ds2, B2)), B2)
+                  BatchLoader(ds2, B2), B2)
 
     seg = SegModel(num_classes=2, upscale=4, arch=arch)
     ds2 = SegSRDataset(segsr, subs, 4.0, 1.0, patch_ori, patch_xyz, True,

@@ -212,8 +212,11 @@ class SRPatchDataset:
         if self.patch_size[2] == 1:
             img_hr_p = img_hr_p[:, :, 0] if img_hr_p.shape[2] == 1 else img_hr_p[:, :, :, 0]
             img_lr_p = img_lr_p[:, :, 0] if img_lr_p.shape[2] == 1 else img_lr_p[:, :, :, 0]
-        lr_out = np.moveaxis(img_lr_p, 0, -1).astype(np.float32)
-        hr_out = np.moveaxis(img_hr_p, 0, -1).astype(np.float32)
+        # order="C": astype's default order="K" preserves the flipped /
+        # transposed strides, making the batch np.stack a slow strided
+        # gather (measured ~60 ms per batch-32, experiments/loader_bench)
+        lr_out = np.moveaxis(img_lr_p, 0, -1).astype(np.float32, order="C")
+        hr_out = np.moveaxis(img_hr_p, 0, -1).astype(np.float32, order="C")
         if self.channels == 1:
             lr_out = lr_out[..., :1]
             hr_out = hr_out[..., :1]
@@ -249,6 +252,17 @@ class SegSRDataset:
             self.uncertainties.append(
                 np.asarray(unc[:]) if (preload and unc is not None) else unc)
 
+        # zscore stats are VOLUME-wide, so normalizing once at load time is
+        # identical to normalizing per draw — and per-draw it was the
+        # loader's hottest op (a full-volume fp32 copy + two reduction
+        # passes per SAMPLE, ~100 ms at pseudo-HR volume sizes;
+        # experiments/loader_bench.py)
+        self._prenormed = False
+        if preload and norm:
+            self.imgs = [zscore_normalization(np.asarray(v, np.float32))
+                         for v in self.imgs]
+            self._prenormed = True
+
         # dummy-2D spatial + intensity pipeline; uncertainty is continuous
         # (train_set.py:64-84). patch arg is (z, y, x) like the reference's
         # target_patch_size[::-1].
@@ -265,25 +279,29 @@ class SegSRDataset:
         rng = rng or self.rng
         if i is None:
             i = int(rng.integers(0, len(self.imgs)))
-        img = np.asarray(self.imgs[i][:], dtype=np.float32)
-        label = np.asarray(self.labels[i][:], dtype=np.float32)
-        if self.norm:
-            img = zscore_normalization(img)
+        img_vol = self.imgs[i]
+        if not self._prenormed:
+            img_vol = np.asarray(img_vol[:], dtype=np.float32)
+            if self.norm:
+                img_vol = zscore_normalization(img_vol)
 
         ps = self.patch_size
         sep = self.separation
-        x0 = int(rng.integers(0, max(img.shape[0] - ps[0], 0) + 1))
-        y0 = int(rng.integers(0, max(img.shape[1] - ps[1], 0) + 1))
-        z0 = int(rng.integers(0, max(img.shape[2] - ps[2] * sep, 0) + 1))
-        img = img[x0:x0 + ps[0], y0:y0 + ps[1], z0:z0 + ps[2] * sep]
-        label = label[x0:x0 + ps[0], y0:y0 + ps[1], z0:z0 + ps[2] * sep]
+        x0 = int(rng.integers(0, max(img_vol.shape[0] - ps[0], 0) + 1))
+        y0 = int(rng.integers(0, max(img_vol.shape[1] - ps[1], 0) + 1))
+        z0 = int(rng.integers(0, max(img_vol.shape[2] - ps[2] * sep, 0) + 1))
+        sl = (slice(x0, x0 + ps[0]), slice(y0, y0 + ps[1]),
+              slice(z0, z0 + ps[2] * sep))
+        # crop BEFORE any dtype conversion: converting the full pseudo-HR
+        # volume per sample was the dominant loader cost
+        img = np.asarray(img_vol[sl], dtype=np.float32)
+        label = np.asarray(self.labels[i][sl], dtype=np.float32)
         target_shape = [max(s, p) for s, p in
                         zip(img.shape, (ps[0], ps[1], ps[2] * sep))]
         img, _ = target_pad(img, target_shape, mode="constant")
         label, _ = target_pad(label, target_shape, mode="constant")
         if self.uncertainty:
-            unc = np.asarray(self.uncertainties[i][:], dtype=np.float32)
-            unc = unc[x0:x0 + ps[0], y0:y0 + ps[1], z0:z0 + ps[2] * sep]
+            unc = np.asarray(self.uncertainties[i][sl], dtype=np.float32)
             unc, _ = target_pad(unc, target_shape, mode="constant")
 
         if self.random_flip:
@@ -376,6 +394,113 @@ class BatchLoader:
             return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
         n = len(samples[0])
         return tuple(np.stack([s[j] for s in samples]) for j in range(n))
+
+
+def _mp_worker(dataset, task_q, out_q):
+    while True:
+        task = task_q.get()
+        if task is None:
+            break
+        idx, seeds = task
+        try:
+            samples = [dataset.sample(rng=np.random.default_rng(int(s)))
+                       for s in seeds]
+            if isinstance(samples[0], dict):
+                batch = {k: np.stack([s[k] for s in samples])
+                         for k in samples[0]}
+            else:
+                batch = tuple(np.stack([s[j] for s in samples])
+                              for j in range(len(samples[0])))
+            out_q.put((idx, "ok", batch))
+        except Exception as e:  # noqa: BLE001 — surfaced to the parent
+            out_q.put((idx, "err", f"{type(e).__name__}: {e}"))
+
+
+class MultiprocessBatchLoader:
+    """N fork()ed worker processes building whole batches in parallel.
+
+    The reference feeds stage 2 with 4 torch DataLoader worker PROCESSES
+    (train_all.py:508); this is the framework's equivalent for hosts with
+    spare cores (the 1-core bench host gains nothing — measured input-
+    bound verdict in experiments/loader_bench.py / docs/BENCHMARKS.md —
+    but real TPU VMs have dozens of cores). fork() shares the preloaded
+    volumes copy-on-write, so workers add no resident memory.
+
+    Determinism: the parent draws one seed per sample from a seeded
+    stream and workers materialize batches from those seeds; results
+    re-order by batch index. The sample sequence is byte-identical to
+    ``BatchLoader(dataset, batch_size, seed, shard=(0, 1))`` (the
+    seeded-per-sample stream), regardless of num_workers.
+
+    shard=(index, count): multi-host mode with the same semantics as
+    BatchLoader — every host draws the full global seed list and
+    materializes only its contiguous slice.
+    """
+
+    def __init__(self, dataset, batch_size: int, num_workers: int = 2,
+                 seed: int = 0, depth: int = 2,
+                 shard: tuple[int, int] | None = None):
+        import multiprocessing as mp
+
+        if shard is not None:
+            index, count = shard
+            if batch_size % count != 0:
+                raise ValueError(f"global batch {batch_size} not divisible "
+                                 f"by {count} processes")
+            if not (0 <= index < count):
+                raise ValueError(f"shard index {index} out of range")
+        self.shard = shard
+        self.batch_size = batch_size
+        self.rng = np.random.default_rng(seed)
+        ctx = mp.get_context("fork")
+        self._task_q = ctx.Queue()
+        self._out_q = ctx.Queue()
+        self._procs = [ctx.Process(target=_mp_worker,
+                                   args=(dataset, self._task_q, self._out_q),
+                                   daemon=True)
+                       for _ in range(int(num_workers))]
+        for p in self._procs:
+            p.start()
+        self._inflight_cap = len(self._procs) + int(depth)
+        self._next_submit = 0
+        self._next_emit = 0
+        self._buffer: dict = {}
+        self._closed = False
+        self._pump()
+
+    def _pump(self):
+        while self._next_submit - self._next_emit < self._inflight_cap:
+            seeds = self.rng.integers(0, 2 ** 63, size=self.batch_size)
+            if self.shard is not None:
+                index, count = self.shard
+                per = self.batch_size // count
+                seeds = seeds[index * per:(index + 1) * per]
+            self._task_q.put((self._next_submit, seeds))
+            self._next_submit += 1
+
+    def next(self):
+        if self._closed:
+            raise RuntimeError("MultiprocessBatchLoader is closed")
+        self._pump()
+        while self._next_emit not in self._buffer:
+            idx, status, item = self._out_q.get()
+            if status == "err":
+                raise RuntimeError(f"loader worker failed: {item}")
+            self._buffer[idx] = item
+        out = self._buffer.pop(self._next_emit)
+        self._next_emit += 1
+        return out
+
+    def close(self):
+        if self._closed:
+            return
+        self._closed = True
+        for _ in self._procs:
+            self._task_q.put(None)
+        for p in self._procs:
+            p.join(timeout=3)
+            if p.is_alive():
+                p.terminate()
 
 
 class PrefetchLoader:

@@ -201,12 +201,17 @@ def segmodel_apply_packed(arch: dict, params, x, *, num_classes: int = 2,
     Differentiable end-to-end (weight packing is linear), so it serves the
     training step as well as eval.
 
-    remat: wrap every encoder/decoder stage and the SR head in
+    remat: True wraps every encoder/decoder stage and the SR head in
     jax.checkpoint — backward-pass activation storage drops to the stage
     boundaries (the skips), which is what makes training at real
     plans.json patch sizes fit in 16 GB HBM (measured: the un-remat
-    fwd+bwd at batch 2 x (16,256,320) wants 45.8 GB). Exact math —
-    rematerialization only recomputes.
+    fwd+bwd at batch 2 x (16,256,320) wants 45.8 GB). "hires" checkpoints
+    only the full/half-resolution stages (encoder 0-1, the last two
+    decoder stages, the SR head) — those hold ~90% of the activation
+    bytes, while the cheap-to-store deep stages carry most of the
+    recompute FLOPs, so selective remat trades a little HBM for less
+    recomputation. Exact math either way — rematerialization only
+    recomputes.
 
     plane_out: emit logits as per-class PLANES (B, C, D, H, W) instead of
     channel-last — the layout the aligned-grid Pallas accumulate kernel
@@ -229,7 +234,20 @@ def segmodel_apply_packed(arch: dict, params, x, *, num_classes: int = 2,
         p = jax.tree.map(lambda t: t.astype(common), p)
     penc, pdec = p["encoder"], p["decoder"]
 
-    maybe_ckpt = jax.checkpoint if remat else (lambda f: f)
+    def _ckpt(kind: str, idx: int = 0):
+        if not remat:
+            return lambda f: f
+        if remat == "hires":
+            if kind == "enc":
+                use = idx <= 1
+            elif kind == "dec":
+                use = idx >= n - 3
+            else:                     # sr_head: 4x-D full res, always
+                use = True
+            return jax.checkpoint if use else (lambda f: f)
+        return jax.checkpoint
+
+    maybe_ckpt = _ckpt("head")
 
     # ---------------- encoder: each stage ends ALIGNED (or unpacked)
     cur, layout = x, "u"
@@ -257,7 +275,7 @@ def segmodel_apply_packed(arch: dict, params, x, *, num_classes: int = 2,
             out_layout = lay
             return y
 
-        cur = maybe_ckpt(enc_stage)(cur, penc[f"stage_{s}"])
+        cur = _ckpt("enc", s)(enc_stage)(cur, penc[f"stage_{s}"])
         layout = out_layout
         skips.append((cur, layout))
 
@@ -320,8 +338,9 @@ def segmodel_apply_packed(arch: dict, params, x, *, num_classes: int = 2,
             out_layout = lay
             return y
 
-        cur = maybe_ckpt(dec_stage)(lres, skip, pdec[f"transpconv_{s}"],
-                                    pdec[f"stage_{s}"])
+        cur = _ckpt("dec", s)(dec_stage)(lres, skip,
+                                         pdec[f"transpconv_{s}"],
+                                         pdec[f"stage_{s}"])
         layout = out_layout
 
         if s == n - 2:

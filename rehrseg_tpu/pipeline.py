@@ -371,6 +371,22 @@ class Pipeline:
             return bool(flag)
         return self._mh.broadcast_scalar(1.0 if flag else 0.0) > 0.5
 
+    def _make_loader(self, ds, batch_size: int):
+        """Training batch loader: single background thread by default;
+        extra.loader_workers: N forks N worker PROCESSES building batches
+        in parallel (reference stage-2 DataLoader num_workers=4,
+        train_all.py:508). The worker path draws per-sample seeds, so its
+        sample stream differs from (but is as-distributed as) the
+        single-thread stream; see data.datasets.MultiprocessBatchLoader."""
+        workers = int((self.cfg.extra or {}).get("loader_workers", 0) or 0)
+        if workers > 0:
+            from .data.datasets import MultiprocessBatchLoader
+            return MultiprocessBatchLoader(ds, batch_size,
+                                           num_workers=workers,
+                                           shard=self.data_shard)
+        return PrefetchLoader(BatchLoader(ds, batch_size,
+                                          shard=self.data_shard))
+
     # ------------------------------------------------------------ stage 0
 
     def split_subjects(self):
@@ -452,8 +468,7 @@ class Pipeline:
                                 c.blur_kernel, patch_size, c.random_flip,
                                 blur=True, nnunet_transform=False,
                                 device_lr_sim=dev_sim, channels=n_ch)
-            loader = PrefetchLoader(BatchLoader(ds, c.batch_size_sr,
-                                                shard=self.data_shard))
+            loader = self._make_loader(ds, c.batch_size_sr)
             step_fn = make_sr_train_step(model, tx, enable_uncertainty=False,
                                          slice_separation=sep, num_slices=1,
                                          precision=self.precision)
@@ -536,12 +551,11 @@ class Pipeline:
         # (augment_sr_hr_batch in the training loop) instead of the host
         # TrainingTransforms path
         host_tf = c.nnunet_transform and not self._sr_device_aug
-        ds = SRPatchDataset(self.sr_h5_path, self.split_subjects()[0],
-                            c.slice_thickness, c.target_thickness, None,
-                            c.blur_kernel, patch_size, c.random_flip,
-                            blur=True, nnunet_transform=host_tf,
-                            device_lr_sim=dev_sim)
-        return BatchLoader(ds, c.batch_size_sr, shard=self.data_shard)
+        return SRPatchDataset(self.sr_h5_path, self.split_subjects()[0],
+                              c.slice_thickness, c.target_thickness, None,
+                              c.blur_kernel, patch_size, c.random_flip,
+                              blur=True, nnunet_transform=host_tf,
+                              device_lr_sim=dev_sim)
 
     def stage1b_flavr(self):
         c = self.cfg
@@ -564,7 +578,8 @@ class Pipeline:
         if int(state.step) < n_steps:
             print("TRAINING NETWORK FLAVR")
             dev_sim = bool((c.extra or {}).get("device_lr_sim", False))
-            loader = PrefetchLoader(self._flavr_dataset(model))
+            loader = self._make_loader(self._flavr_dataset(model),
+                                       c.batch_size_sr)
             step_fn = make_sr_train_step(model, tx, enable_uncertainty=False,
                                          slice_separation=sep,
                                          num_slices=c.num_slices,
@@ -681,7 +696,8 @@ class Pipeline:
         if int(state.step) < n_steps:
             print("TRAINING NETWORK FLAVR WITH UNCERTAINTY")
             dev_sim = bool((c.extra or {}).get("device_lr_sim", False))
-            loader = PrefetchLoader(self._flavr_dataset(model))
+            loader = self._make_loader(self._flavr_dataset(model),
+                                       c.batch_size_sr)
             step_fn = make_sr_train_step(model, tx, enable_uncertainty=True,
                                          slice_separation=sep,
                                          num_slices=c.num_slices,
@@ -804,6 +820,18 @@ class Pipeline:
             fstate = ckpt.restore_checkpoint(src, fstate)
         return flavr_model, fstate.params
 
+    def _remat_mode(self):
+        """Stage-2 remat policy (extra: {remat: all|hires|none}). Default
+        'all' — guaranteed to fit 16 GB HBM with distillation on. 'none'
+        measured ~10%% faster when it fits (experiments/remat_sweep.py);
+        'hires' is the middle ground."""
+        mode = str((self.cfg.extra or {}).get("remat", "all")).lower()
+        if mode in ("none", "false", "off"):
+            return False
+        if mode == "hires":
+            return "hires"
+        return True
+
     def stage2_segsr(self, flavr_model=None, flavr_params=None):
         c = self.cfg
         sep = int(c.slice_separation)
@@ -830,8 +858,7 @@ class Pipeline:
                           c.slice_thickness, c.target_thickness, patch_ori,
                           patch_xyz, c.random_flip, c.enable_uncertainty,
                           device_augment=device_augment)
-        loader = PrefetchLoader(BatchLoader(ds, c.batch_size_segsr,
-                                            shard=self.data_shard))
+        loader = self._make_loader(ds, c.batch_size_segsr)
         aug_fn = None
         if device_augment:
             from .data.device_aug import augment_seg_batch
@@ -859,7 +886,7 @@ class Pipeline:
             enable_distillation=c.enable_distillation,
             flavr_model=flavr_model, distiller=dist,
             teacher_window_chunk=(c.extra or {}).get("teacher_window_chunk"),
-            precision=self.precision)
+            remat=self._remat_mode(), precision=self.precision)
 
         total_steps = c.epochs * iters_per_epoch
         batch_spec = None
@@ -1074,7 +1101,8 @@ class Pipeline:
             enable_distillation=c.enable_distillation,
             flavr_model=flavr_model, distiller=dist,
             teacher_window_chunk=(c.extra or {}).get("teacher_window_chunk"),
-            donate=False, precision=self.precision)
+            remat=self._remat_mode(), donate=False,
+            precision=self.precision)
         fold_step = make_fold_parallel_step(base_step, mesh)
 
         aug_fn = None

@@ -26,6 +26,10 @@ def target_pad(img: np.ndarray, target_dims, mode: str = "reflect"):
     suitable for :func:`crop`.
     """
     pads = tuple(get_pads(t, d) for t, d in zip(target_dims, img.shape))
+    if not any(p != (0, 0) for p in pads):
+        # np.pad copies even for all-zero pads; the no-op case is the hot
+        # path in per-sample dataset prep (experiments/loader_bench.py)
+        return img, pads
     kwargs = {}
     if mode == "constant":
         kwargs["constant_values"] = 0

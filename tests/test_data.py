@@ -233,3 +233,43 @@ def test_prefetch_loader_matches_sync(tmp_path, rng):
         assert np.array_equal(lr, lr_ref)
         assert np.array_equal(hr, hr_ref)
     pre.close()
+
+
+def test_multiprocess_loader_matches_seeded_stream(tmp_path, rng):
+    """MultiprocessBatchLoader batches are byte-identical to the seeded
+    per-sample stream (BatchLoader shard=(0,1)) regardless of workers."""
+    from rehrseg_tpu.data.datasets import MultiprocessBatchLoader
+    _make_subject_nifti(str(tmp_path / "sub1_0000.nii.gz"), rng)
+
+    def make_ds():
+        return SRPatchDataset(str(tmp_path), ["sub1"], 4.0, 1.0, None,
+                              "rf-pulse-slr", (16, 16), random_flip=True,
+                              blur=True, nnunet_transform=False)
+
+    ref = BatchLoader(make_ds(), batch_size=4, seed=5, shard=(0, 1))
+    ref_batches = [ref.next() for _ in range(3)]
+    mp = MultiprocessBatchLoader(make_ds(), batch_size=4, num_workers=2,
+                                 seed=5)
+    try:
+        for lr_ref, hr_ref in ref_batches:
+            lr, hr = mp.next()
+            assert np.array_equal(lr, lr_ref)
+            assert np.array_equal(hr, hr_ref)
+    finally:
+        mp.close()
+
+
+def test_multiprocess_loader_error_and_close(tmp_path, rng):
+    from rehrseg_tpu.data.datasets import MultiprocessBatchLoader
+    import pytest
+
+    class Bad:
+        def sample(self, i=None, rng=None):
+            raise ValueError("boom")
+
+    mp = MultiprocessBatchLoader(Bad(), batch_size=2, num_workers=1)
+    with pytest.raises(RuntimeError, match="boom"):
+        mp.next()
+    mp.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        mp.next()
