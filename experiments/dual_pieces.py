@@ -49,10 +49,12 @@ w1, b1 = p["sr_head_conv1"]["kernel"], p["sr_head_conv1"]["bias"]
 w2, b2 = p["sr_head_conv2"]["kernel"], p["sr_head_conv2"]["bias"]
 
 rng = np.random.default_rng(0)
-# the decoder's aligned packed feature tap: (B, D, H/2, W/2, 32*4)
-feats = jnp.asarray(rng.normal(
-    size=(B, PATCH[0], PATCH[1] // 2, PATCH[2] // 2, 128)) * 0.1,
-    jnp.bfloat16)
+# the decoder's aligned packed feature tap: (B, D, H/2, W/2, 32*4) —
+# generated on device (host gen + tunnel upload costs minutes at this size)
+feats = jax.random.normal(
+    jax.random.key(1),
+    (B, PATCH[0], PATCH[1] // 2, PATCH[2] // 2, 128), jnp.bfloat16) * 0.1
+jax.block_until_ready(feats)
 
 
 def timed(name, fn, *args, reps=3, flops=None):
@@ -68,7 +70,7 @@ def timed(name, fn, *args, reps=3, flops=None):
     note = ""
     if flops:
         note = f"  ({flops / min(ts) / 1e12:5.1f} TFLOP/s parity)"
-    print(f"{name}: {ms:7.1f} ms{note}")
+    print(f"{name}: {ms:7.1f} ms{note}", flush=True)
     return min(ts)
 
 
@@ -88,7 +90,8 @@ def conv1_only(f):
 
 
 @jax.jit
-def full_head(f):
+def full_head_old(f):
+    # the round-3 conv2 form: (4,4)-kernel stride-1, 8 output lanes
     u = upsample_axis_linear(f, UP, axis=1, align_corners=True)
     wp1 = pack_conv_weights(w1)
     h1 = conv_packed(u, wp1, pack_bias(b1), hw_pad="pad11")
@@ -96,6 +99,22 @@ def full_head(f):
     h1 = jax.nn.relu(h1) * m
     wp2 = pack_conv_weights(w2)
     out = depth_to_space_hw(conv_packed(h1, wp2, pack_bias(b2)))
+    return out.astype(jnp.float32).sum()
+
+
+@jax.jit
+def full_head(f):
+    u = upsample_axis_linear(f, UP, axis=1, align_corners=True)
+    wp1 = pack_conv_weights(w1)
+    h1 = conv_packed(u, wp1, pack_bias(b1), hw_pad="pad11")
+    m = offset_rim_mask(h1.shape[2], h1.shape[3], w1.shape[-1], h1.dtype)
+    h1 = jax.nn.relu(h1) * m
+    from rehrseg_tpu.ops.pack2d import (
+        pack_conv_weights_cell4, pack_bias_cell4, conv_packed_s2_cell4,
+        depth_to_space_cell)
+    wp2 = pack_conv_weights_cell4(w2)
+    out = depth_to_space_cell(
+        conv_packed_s2_cell4(h1, wp2, pack_bias_cell4(b2)), 4)
     return out.astype(jnp.float32).sum()
 
 
@@ -121,9 +140,13 @@ if __name__ == "__main__":
     timed("z-upsample x4 (matmul form)", up_only, feats)
     timed("upsample + conv1 (2,2)-cell + relu", conv1_only, feats,
           flops=fl_conv1)
-    timed("full sr_head (up+conv1+conv2+d2s)", full_head, feats,
+    timed("full sr_head OLD conv2 (8-lane)", full_head_old, feats,
           flops=fl_conv1 + fl_conv2)
-    batch = jnp.asarray(rng.normal(size=(B, *PATCH, 1)), jnp.bfloat16)
+    timed("full sr_head NEW conv2 (s2-cell4)", full_head, feats,
+          flops=fl_conv1 + fl_conv2)
+    batch = jax.random.normal(jax.random.key(2), (B, *PATCH, 1),
+                              jnp.bfloat16)
+    jax.block_until_ready(batch)
     t_lr = timed("LR-only model fwd", lr_model, batch)
     t_dual = timed("dual model fwd", dual_model, batch)
     print(f"HR head inside model: {1e3 * (t_dual - t_lr):.1f} ms")

@@ -40,6 +40,8 @@ from ..ops.pack2d import (
     pack_transpconv_weights, pack_pointwise_weights, pack_bias,
     conv_packed, conv_packing, pointwise_packed_transpconv,
     instance_norm_packed, offset_rim_mask,
+    pack_conv_weights_cell4, pack_bias_cell4, conv_packed_s2_cell4,
+    depth_to_space_cell,
 )
 
 
@@ -389,10 +391,24 @@ def segmodel_apply_packed(arch: dict, params, x, *, num_classes: int = 2,
             wp1 = pack_conv_weights(w1_)
             h1 = conv_packed(up, wp1, pack_bias(b1_), hw_pad="pad11")
             h1 = _mask_offset(jax.nn.relu(h1), w1_.shape[-1])
+            ncl = w2_.shape[-1]
+            # conv2 (5^3, 16 -> num_classes): the (2,2)-cell form emits
+            # 4*ncl=8 lanes and runs ~4.8 TF/s (MXU pads the output dim to
+            # 128); the stride-2 (4,4)-cell form emits 16*ncl=32 lanes at
+            # ~25/16 the raw MACs and is ~5x faster end-to-end (measured,
+            # experiments/conv2_lanes.py + dual_pieces.py). Needs true H,W
+            # % 4 == 0 (h1 is offset-packed: plane = H/2+1).
+            if (h1.shape[2] - 1) % 2 == 0 and (h1.shape[3] - 1) % 2 == 0:
+                wp2 = pack_conv_weights_cell4(w2_)   # o -> (4,4)-cell a
+                out = conv_packed_s2_cell4(h1, wp2, pack_bias_cell4(b2_))
+                if plane_out:
+                    return jnp.stack(
+                        [depth_to_space_cell(out[..., c::ncl], 4)[..., 0]
+                         for c in range(ncl)], axis=1)
+                return depth_to_space_cell(out, 4)
             wp2 = pack_conv_weights(w2_)     # 5x5 -> (4,4) cells, o -> a
             out = conv_packed(h1, wp2, pack_bias(b2_))
             if plane_out:
-                ncl = w2_.shape[-1]
                 return jnp.stack(
                     [depth_to_space_hw(out[..., c::ncl])[..., 0]
                      for c in range(ncl)], axis=1)

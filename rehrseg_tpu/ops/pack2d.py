@@ -62,6 +62,17 @@ def depth_to_space_hw(x: jnp.ndarray) -> jnp.ndarray:
     return x.transpose(perm).reshape(*lead, 2 * h2, 2 * w2, c)
 
 
+def depth_to_space_cell(x: jnp.ndarray, cell: int) -> jnp.ndarray:
+    """(..., h, w, cell^2*C) -> (..., h*cell, w*cell, C), channel order
+    (ey, ex, c) — the general-cell inverse of :func:`space_to_depth_hw`."""
+    *lead, h2, w2, cc = x.shape
+    c = cc // (cell * cell)
+    x = x.reshape(*lead, h2, w2, cell, cell, c)
+    nd = x.ndim
+    perm = tuple(range(nd - 5)) + (nd - 5, nd - 3, nd - 4, nd - 2, nd - 1)
+    return x.transpose(perm).reshape(*lead, cell * h2, cell * w2, c)
+
+
 def offset_pack_hw(x: jnp.ndarray) -> jnp.ndarray:
     """(..., H, W, C) -> (..., H/2+1, W/2+1, 4C): packed cells shifted one
     pixel up-left (cell i covers rows 2i-1, 2i), zero-padded at the rim —
@@ -163,6 +174,74 @@ def pack_conv_weights(w: jnp.ndarray, in_splits=None,
         ci_off += cs
     return (jnp.concatenate(row_blocks, axis=3)
             if len(row_blocks) > 1 else row_blocks[0])
+
+
+def pack_conv_weights_cell4(w: jnp.ndarray) -> jnp.ndarray:
+    """(kd, 5, 5, Ci, Co) -> (kd, 5, 5, 4Ci, 16Co): weights for the
+    stride-(2,2) packed conv that consumes OFFSET (2,2)-packed input and
+    emits ALIGNED (4,4)-cell output in one pass (conv_packed_s2_cell4).
+
+    WHY: a SAME 5x5 conv with tiny Cout (the sr_head's 16->num_classes
+    logits conv, reference seg_model.py:196-210) emits 4*Cout=8 packed
+    lanes — the MXU pads the output dim to 128 lanes and runs at ~4.8
+    TFLOP/s while the identical conv with >=64 output lanes runs at ~64
+    (measured, experiments/conv2_lanes.py). Emitting the 4x4-pixel output
+    block of each packed step as 16 cells gives 16*Cout=32 lanes and folds
+    the final depth_to_space into the conv's own output layout.
+
+    Tap map: output group (ey, ex), ey,ex in 0..3, of stride-2 output pixel
+    I is HR pixel 4I+ey; packed input tap s in 0..4 (pad 1) holds HR rows
+    2(2I-1+s)-1+dy, so kernel index k = 2s-1+dy-ey, zero outside 0..4.
+    Raw MACs: 25 taps vs the (4,4)-kernel stride-1 form's 16 per 4x the
+    output pixels — 25/16 more raw FLOPs for a ~13x faster conv (measured,
+    docs/BENCHMARKS.md round-4 dual-head section)."""
+    kd, kh, kw, ci, co = w.shape
+    assert kh == 5 and kw == 5, (kh, kw)
+    S, base = 5, 1
+    cols = []
+    for ey in range(4):
+        for ex in range(4):
+            t = jnp.pad(w, ((0, 0),
+                            (base + ey, 2 * S - kh - base - ey),
+                            (base + ex, 2 * S - kh - base - ex),
+                            (0, 0), (0, 0)))      # (kd, 2S, 2S, ci, co)
+            t = t.reshape(kd, S, 2, S, 2, ci, co)
+            t = t.transpose(0, 1, 3, 2, 4, 5, 6)  # (kd,s,t,dy,dx,ci,co)
+            cols.append(t.reshape(kd, S, S, 4 * ci, co))
+    return jnp.concatenate(cols, axis=-1)
+
+
+def pack_bias_cell4(b: jnp.ndarray) -> jnp.ndarray:
+    """(C,) -> (16C,) tiled over the sixteen (ey, ex) output groups."""
+    return jnp.tile(b, 16)
+
+
+def conv_packed_s2_cell4(xp: jnp.ndarray, wp: jnp.ndarray, b) -> jnp.ndarray:
+    """OFFSET (2,2)-packed (B, D, H/2+1, W/2+1, 4Ci) -> ALIGNED (4,4)-cell
+    (B, D, H/4, W/4, 16Co) via the pack_conv_weights_cell4 kernel: one
+    stride-(2,2) conv, padding (1,1), equal to a SAME 5x5 stride-1 conv on
+    the unpacked tensor followed by (4,4) space-to-depth. Requires the true
+    H and W divisible by 4 (callers gate; production patches are).
+    kd==1 folds D into the batch; kd>1 is a 5D conv, SAME along D."""
+    kd = wp.shape[0]
+    hw = ((1, 1), (1, 1))
+    if kd == 1:
+        bsz, d, hp, wp_, c = xp.shape
+        y = jax.lax.conv_general_dilated(
+            xp.reshape(bsz * d, hp, wp_, c), wp[0],
+            window_strides=(2, 2), padding=hw,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=xp.dtype)
+        y = y.reshape(bsz, d, *y.shape[1:])
+    else:
+        y = jax.lax.conv_general_dilated(
+            xp, wp, window_strides=(1, 2, 2),
+            padding=((kd // 2, kd // 2),) + hw,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            preferred_element_type=xp.dtype)
+    if b is not None:
+        y = y + b
+    return y
 
 
 def pack_conv_weights_from_unpacked(w: jnp.ndarray) -> jnp.ndarray:
