@@ -119,6 +119,35 @@ def full_head(f):
 
 
 @jax.jit
+def full_head_z2(f):
+    u = upsample_axis_linear(f, UP, axis=1, align_corners=True)
+    wp1 = pack_conv_weights(w1)
+    h1 = conv_packed(u, wp1, pack_bias(b1), hw_pad="pad11")
+    m = offset_rim_mask(h1.shape[2], h1.shape[3], w1.shape[-1], h1.dtype)
+    h1 = jax.nn.relu(h1) * m
+    from rehrseg_tpu.ops.pack2d import (
+        pack_conv_weights_cell4z2, conv_packed_s2_cell4z2, unpack_cell4z2)
+    wp2 = pack_conv_weights_cell4z2(w2)
+    out = conv_packed_s2_cell4z2(h1, wp2, jnp.tile(b2, 32))
+    planes = unpack_cell4z2(out, w2.shape[-1])
+    return sum(p.astype(jnp.float32).sum() for p in planes)
+
+
+@jax.jit
+def full_head_fused(f):
+    from rehrseg_tpu.ops.pack2d import (
+        fused_upsample_conv1, pack_conv_weights_cell4z2,
+        conv_packed_s2_cell4z2, unpack_cell4z2)
+    h1 = fused_upsample_conv1(f, w1, b1, UP)
+    m = offset_rim_mask(h1.shape[2], h1.shape[3], w1.shape[-1], h1.dtype)
+    h1 = jax.nn.relu(h1) * m
+    wp2 = pack_conv_weights_cell4z2(w2)
+    out = conv_packed_s2_cell4z2(h1, wp2, jnp.tile(b2, 32))
+    planes = unpack_cell4z2(out, w2.shape[-1])
+    return sum(p.astype(jnp.float32).sum() for p in planes)
+
+
+@jax.jit
 def lr_model(b):
     return segmodel_apply_packed(arch, params, b, pack_max_channels=64
                                  ).astype(jnp.float32).sum()
@@ -143,6 +172,10 @@ if __name__ == "__main__":
     timed("full sr_head OLD conv2 (8-lane)", full_head_old, feats,
           flops=fl_conv1 + fl_conv2)
     timed("full sr_head NEW conv2 (s2-cell4)", full_head, feats,
+          flops=fl_conv1 + fl_conv2)
+    timed("full sr_head z2 conv2 (64-lane)", full_head_z2, feats,
+          flops=fl_conv1 + fl_conv2)
+    timed("full sr_head fused-up + z2", full_head_fused, feats,
           flops=fl_conv1 + fl_conv2)
     batch = jax.random.normal(jax.random.key(2), (B, *PATCH, 1),
                               jnp.bfloat16)

@@ -42,6 +42,8 @@ from ..ops.pack2d import (
     instance_norm_packed, offset_rim_mask,
     pack_conv_weights_cell4, pack_bias_cell4, conv_packed_s2_cell4,
     depth_to_space_cell,
+    pack_conv_weights_cell4z2, conv_packed_s2_cell4z2, unpack_cell4z2,
+    fused_upsample_conv1,
 )
 
 
@@ -386,10 +388,16 @@ def segmodel_apply_packed(arch: dict, params, x, *, num_classes: int = 2,
             # with C=16/32 — unpacked, its activations are mostly lane
             # padding (the round-1 OOM). D-upsampling commutes with
             # in-plane packing.
-            up = upsample_axis_linear(feats_in, upscale, axis=1,
-                                      align_corners=True)
-            wp1 = pack_conv_weights(w1_)
-            h1 = conv_packed(up, wp1, pack_bias(b1_), hw_pad="pad11")
+            if w1_.shape[0] == 3:
+                # upsample folded into conv1: spatial conv at LR depth +
+                # one composite z-matmul (exact; ~1.2x faster and skips
+                # the 4x-depth 128-lane intermediate — dual_pieces.py)
+                h1 = fused_upsample_conv1(feats_in, w1_, b1_, upscale)
+            else:
+                up = upsample_axis_linear(feats_in, upscale, axis=1,
+                                          align_corners=True)
+                wp1 = pack_conv_weights(w1_)
+                h1 = conv_packed(up, wp1, pack_bias(b1_), hw_pad="pad11")
             h1 = _mask_offset(jax.nn.relu(h1), w1_.shape[-1])
             ncl = w2_.shape[-1]
             # conv2 (5^3, 16 -> num_classes): the (2,2)-cell form emits
@@ -399,6 +407,16 @@ def segmodel_apply_packed(arch: dict, params, x, *, num_classes: int = 2,
             # experiments/conv2_lanes.py + dual_pieces.py). Needs true H,W
             # % 4 == 0 (h1 is offset-packed: plane = H/2+1).
             if (h1.shape[2] - 1) % 2 == 0 and (h1.shape[3] - 1) % 2 == 0:
+                if h1.shape[1] % 2 == 0:
+                    # z-paired variant: 32*ncl=64 output lanes (the full
+                    # fast MXU regime) for 6/5 the z taps
+                    wp2 = pack_conv_weights_cell4z2(w2_)
+                    out = conv_packed_s2_cell4z2(
+                        h1, wp2, jnp.tile(b2_, 32))
+                    planes = unpack_cell4z2(out, ncl)
+                    if plane_out:
+                        return jnp.stack(planes, axis=1)
+                    return jnp.stack(planes, axis=-1)
                 wp2 = pack_conv_weights_cell4(w2_)   # o -> (4,4)-cell a
                 out = conv_packed_s2_cell4(h1, wp2, pack_bias_cell4(b2_))
                 if plane_out:

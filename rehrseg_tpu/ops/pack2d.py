@@ -216,6 +216,109 @@ def pack_bias_cell4(b: jnp.ndarray) -> jnp.ndarray:
     return jnp.tile(b, 16)
 
 
+def pack_conv_weights_cell4z2(w: jnp.ndarray) -> jnp.ndarray:
+    """(5, 5, 5, Ci, Co) -> (6, 5, 5, 4Ci, 32Co): the cell4 kernel with a
+    z-PAIR folded into the output too — stride (2,2,2), output group
+    (ez, ey, ex), ez in {0,1}: HR voxel (2d'+ez, 4I+ey, 4J+ex). 32*Co=64
+    output lanes for the 2-class head = the full measured-fast MXU regime
+    (experiments/conv2_lanes.py: 64 lanes run 63.7 TF/s vs 8 lanes 4.8).
+    z tap map: k_z = s6 - ez, zero outside 0..4 (s6 in 0..5); hw maps as
+    pack_conv_weights_cell4. Raw MACs: 6*25/(2*16) per HR voxel = 4.8x
+    parity (vs cell4's 4.0x) — lanes beat FLOPs here. Requires HR depth
+    even (any even upscale gives it)."""
+    kd, kh, kw, ci, co = w.shape
+    assert kd == 5 and kh == 5 and kw == 5, (kd, kh, kw)
+    S, base = 5, 1
+    cols = []
+    for ez in range(2):
+        wz = jnp.pad(w, ((ez, 1 - ez), (0, 0), (0, 0), (0, 0), (0, 0)))
+        for ey in range(4):
+            for ex in range(4):
+                t = jnp.pad(wz, ((0, 0),
+                                 (base + ey, 2 * S - kh - base - ey),
+                                 (base + ex, 2 * S - kh - base - ex),
+                                 (0, 0), (0, 0)))  # (6, 2S, 2S, ci, co)
+                t = t.reshape(6, S, 2, S, 2, ci, co)
+                t = t.transpose(0, 1, 3, 2, 4, 5, 6)
+                cols.append(t.reshape(6, S, S, 4 * ci, co))
+    return jnp.concatenate(cols, axis=-1)
+
+
+def conv_packed_s2_cell4z2(xp: jnp.ndarray, wp: jnp.ndarray, b) -> jnp.ndarray:
+    """OFFSET (2,2)-packed (B, D, H/2+1, W/2+1, 4Ci) -> z-paired ALIGNED
+    (4,4)-cell (B, D/2, H/4, W/4, 32Co) via the pack_conv_weights_cell4z2
+    kernel: one stride-(2,2,2) conv == SAME 5^3 stride-1 conv + (4,4)
+    space-to-depth + z-pairing. D must be even; true H, W % 4 == 0."""
+    y = jax.lax.conv_general_dilated(
+        xp, wp, window_strides=(2, 2, 2),
+        padding=((2, 3), (1, 1), (1, 1)),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=xp.dtype)
+    if b is not None:
+        y = y + b
+    return y
+
+
+def fused_upsample_conv1(feats: jnp.ndarray, w1: jnp.ndarray, b1,
+                         upscale: int,
+                         align_corners: bool = True) -> jnp.ndarray:
+    """[linear z-upsample by `upscale`] then [SAME 3^3 packed conv,
+    aligned -> offset] reordered as [one 2D packed conv at LR depth] then
+    [one composite z-matmul] — exact: both ops are linear and the conv's
+    spatial part commutes with the z part.
+
+    WHY: the straight order materializes the upscale*D-depth 128-lane
+    feature tensor (4 GB at bench head geometry) and runs conv1's spatial
+    MACs at HR depth; measured 75.3 ms (40.6 up + 34.7 conv,
+    experiments/dual_pieces.py). The swapped order runs the spatial conv
+    at LR depth (1/upscale the MACs) and the z-mix writes the 64-lane h1
+    directly.
+
+    feats: (B, D, hp, wp, 4Ci) ALIGNED; w1: (3, 3, 3, Ci, Co) unpacked
+    conv weights; b1: (Co,) or None. Returns OFFSET-parity
+    (B, D*upscale, hp+1, wp+1, 4Co) — the caller applies
+    relu/offset_rim_mask exactly as for conv_packed(..., "pad11")."""
+    from .bspline import trilinear_upsample_matrix
+    kd = w1.shape[0]
+    assert kd == 3, kd
+    d = feats.shape[1]
+    z = d * upscale
+    wp1 = pack_conv_weights(w1)              # (3, 2, 2, 4Ci, 4Co)
+    co4 = wp1.shape[-1]
+    # fold the z-taps into output channels, order (k, co4)
+    wk = wp1.transpose(1, 2, 3, 0, 4).reshape(
+        1, 2, 2, wp1.shape[3], kd * co4)
+    y = conv_packed(feats, wk, None, hw_pad="pad11")
+    # composite z matrix: h1[z'] = sum_k W1[k] . up[z'+k-1], up = U feats
+    u = np.pad(trilinear_upsample_matrix(d, upscale, align_corners),
+               ((1, 1), (0, 0)))
+    bz = jnp.asarray(np.stack([u[k:k + z] for k in range(kd)], axis=-1),
+                     feats.dtype)             # (Z, D, kd)
+    ysh = y.shape
+    y = y.reshape(*ysh[:-1], kd, co4)
+    h1 = jnp.einsum("bdhwkc,zdk->bzhwc", y, bz,
+                    preferred_element_type=y.dtype)
+    if b1 is not None:
+        h1 = h1 + pack_bias(b1)
+    return h1
+
+
+def unpack_cell4z2(out: jnp.ndarray, ncl: int):
+    """Split a conv_packed_s2_cell4z2 output into per-class HR volumes:
+    (B, D/2, h4, w4, 32*ncl) -> list of ncl (B, D, H, W) arrays. Channel
+    order is (ez, ey, ex, c); the ez cell moves next to D (one small
+    transpose), then depth_to_space_cell handles (ey, ex)."""
+    bsz, d2, h4, w4, _ = out.shape
+    planes = []
+    for c in range(ncl):
+        pc = out[..., c::ncl]                       # (B,D2,h4,w4,32)
+        pc = pc.reshape(bsz, d2, h4, w4, 2, 16)
+        pc = pc.transpose(0, 1, 4, 2, 3, 5)         # (B,D2,2,h4,w4,16)
+        pc = pc.reshape(bsz, 2 * d2, h4, w4, 16)
+        planes.append(depth_to_space_cell(pc, 4)[..., 0])
+    return planes
+
+
 def conv_packed_s2_cell4(xp: jnp.ndarray, wp: jnp.ndarray, b) -> jnp.ndarray:
     """OFFSET (2,2)-packed (B, D, H/2+1, W/2+1, 4Ci) -> ALIGNED (4,4)-cell
     (B, D, H/4, W/4, 16Co) via the pack_conv_weights_cell4 kernel: one

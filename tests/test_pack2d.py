@@ -267,3 +267,42 @@ def test_packed_conv_s2_cell4(rng, kd):
     pl = depth_to_space_cell(yp[..., 1::2], 4)[..., 0]
     np.testing.assert_allclose(np.asarray(pl), np.asarray(ref[..., 1]),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_packed_conv_s2_cell4z2(rng):
+    """The z-paired stride-(2,2,2) variant: one conv == SAME 5^3 conv +
+    (4,4) hw space-to-depth + z-pairing (64 output lanes for the 2-class
+    sr_head — experiments/conv2_lanes.py)."""
+    from rehrseg_tpu.ops.pack2d import (
+        pack_conv_weights_cell4z2, conv_packed_s2_cell4z2, unpack_cell4z2)
+    x = jnp.asarray(rng.normal(size=(2, 8, 16, 24, 3)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(5, 5, 5, 3, 2)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(2,)).astype(np.float32))
+    ref = _conv_ref(x, w) + b
+    yp = conv_packed_s2_cell4z2(offset_pack_hw(x),
+                                pack_conv_weights_cell4z2(w),
+                                jnp.tile(b, 32))
+    assert yp.shape == (2, 4, 4, 6, 64)
+    planes = unpack_cell4z2(yp, 2)
+    got = jnp.stack(planes, axis=-1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fused_upsample_conv1(rng):
+    """Swap-order fusion (2D conv at LR depth + composite z-matmul) must
+    equal z-upsample followed by the SAME 3^3 packed conv (sr_head conv1,
+    reference seg_model.py:196-210 F.interpolate + Conv3d)."""
+    from rehrseg_tpu.ops.pack2d import fused_upsample_conv1
+    from rehrseg_tpu.ops.bspline import upsample_axis_linear
+    x = jnp.asarray(rng.normal(size=(2, 3, 6, 8, 4)).astype(np.float32))
+    xp = space_to_depth_hw(x)                      # aligned (2,3,3,4,16)
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, 4, 5)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(5,)).astype(np.float32))
+    up = upsample_axis_linear(xp, 4, axis=1, align_corners=True)
+    ref = conv_packed(up, pack_conv_weights(w), pack_bias(b),
+                      hw_pad="pad11")
+    got = fused_upsample_conv1(xp, w, b, 4)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
