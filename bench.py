@@ -270,6 +270,63 @@ def bench_dual_engine(model, arch, params, peak: float) -> dict:
     res["_dual_device_seconds_per_volume"] = min(dev_times)
     res["dual_device_voxps"] = round(voxels / min(dev_times), 1)
 
+    # aligned-grid dual engine (fused Pallas accumulate on BOTH heads) —
+    # the fastest dual configuration (docs/BENCHMARKS.md round-4 dual
+    # section); device-resident like the parity-dual number above
+    try:
+        from rehrseg_tpu.infer.sliding_window import (
+            _aligned_prep, _sliding_window_scan_aligned,
+            _mirror_batch_zgrouped, _device_gaussian as _dg)
+        from rehrseg_tpu.ops.pallas_tail import accumulate_tta_tile
+
+        def dual_fn_planes(p, batch):
+            return segmodel_apply_packed(arch, p,
+                                         batch.astype(COMPUTE_DTYPE),
+                                         pack_max_channels=64, dual=True,
+                                         upscale=4, plane_out=True)
+
+        dev_al, starts_al, g_hr_al, patch_al, shape_al, interp = \
+            _aligned_prep(vol_p, PATCH, TILE_STEP, True, 4,
+                          COMPUTE_DTYPE, None)
+        g_lr_al = _dg(patch_al, True)
+        pd, ph, pw = patch_al
+
+        @jax.jit
+        def run_dual_al(dev_data, starts_d):
+            llr0 = jnp.zeros((2, *shape_al), jnp.float32)
+            lhr0 = jnp.zeros((2, shape_al[0] * 4, shape_al[1],
+                              shape_al[2]), jnp.float32)
+
+            def tile_step(carry, start):
+                llr, lhr = carry
+                tile = jax.lax.dynamic_slice(
+                    dev_data, (start[0], start[1], start[2], 0),
+                    (pd, ph, pw, dev_data.shape[-1]))
+                batch = _mirror_batch_zgrouped(tile)
+                p_lr, p_hr = dual_fn_planes(params, batch)
+                llr = accumulate_tta_tile(llr, p_lr, g_lr_al, start,
+                                          z_scale=1, interpret=interp)
+                lhr = accumulate_tta_tile(lhr, p_hr, g_hr_al, start,
+                                          z_scale=4, interpret=interp)
+                return (llr, lhr), None
+
+            (llr, lhr), _ = jax.lax.scan(tile_step, (llr0, lhr0),
+                                         starts_d)
+            return (jnp.argmax(llr, 0).astype(jnp.uint8),
+                    jnp.argmax(lhr, 0).astype(jnp.uint8))
+
+        def run_dual_al_timed():
+            a, b = run_dual_al(dev_al, starts_al)
+            return float(consume(a, b))
+
+        run_dual_al_timed()
+        al_times, _ = _timed_trials(run_dual_al_timed, 2,
+                                    probe_peak=False)
+        res["dual_aligned_device_voxps"] = round(voxels / min(al_times), 1)
+        res["_dual_aligned_device_seconds"] = min(al_times)
+    except Exception as e:
+        res["dual_aligned_error"] = type(e).__name__
+
     from rehrseg_tpu.infer.sliding_window import sliding_window_starts
     n_tta = 8 if MIRROR else 1
     n_tiles = len(sliding_window_starts(vol_p.shape[:3], PATCH, TILE_STEP))
@@ -283,6 +340,10 @@ def bench_dual_engine(model, arch, params, peak: float) -> dict:
         res["dual_eq_tflops"] = round(eq, 1)
         if peak:
             res["dual_mfu_vs_chip_peak"] = round(eq / peak, 3)
+            # device-resident attribution: the e2e number above carries
+            # the tunnel's label fetch; the chip-side MFU is the signal
+            res["dual_device_mfu_vs_chip_peak"] = round(
+                flops * n_tiles / min(dev_times) / 1e12 / peak, 3)
     res["_dual_seconds_per_volume"] = dt
     return res
 
@@ -520,6 +581,11 @@ def main():
         dual = bench_dual_engine(model, arch, params, peak)
         t_dual = dual.pop("_dual_seconds_per_volume")
         t_dual_dev = dual.pop("_dual_device_seconds_per_volume", None)
+        # the aligned+Pallas dual engine is the fastest serving config —
+        # the device composite uses the best available dual time
+        t_dual_al = dual.pop("_dual_aligned_device_seconds", None)
+        if t_dual_al is not None:
+            t_dual_dev = min(t_dual_dev or t_dual_al, t_dual_al)
     except Exception as e:
         dual, t_dual, t_dual_dev = {"dual_error": f"{type(e).__name__}"}, \
             None, None
