@@ -31,10 +31,17 @@ overlap, exactly like our own run. The target in BASELINE.json is >= 3x
 this estimate per chip.
 
 Attribution keys (VERDICT round-1 weak #8): "eq_tflops" = parity FLOPs /
-wall time; "chip_peak_tflops" = a measured bf16 matmul probe on THIS chip;
-"mfu_vs_chip_peak" = their ratio. The bench host is a ~88 TFLOP/s
-v5e-lite, so vs_baseline is hardware-capped at ~0.7 here; mfu_vs_chip_peak
-is the hardware-independent signal.
+wall time; "chip_peak_tflops" = a measured bf16 matmul probe on THIS chip
+(ONE dispatch chaining 48 matmuls — reads a stable ~117-126 TFLOP/s; the
+round-2/3 per-call probe was dispatch-limited at ~88 and UNDERSTATED the
+peak, so parity-MFU numbers rebased down in round 4 while nothing got
+slower — docs/BENCHMARKS.md "Chip-peak probe correction");
+"mfu_vs_chip_peak" = parity ratio, "raw_mfu_vs_chip_peak" = the FLOPs
+actually executed (packing inflation included) / peak — the
+how-hard-is-the-hardware-running signal (0.73-0.77 measured). The
+analytic A100 baseline (124.8 effective TF/s) ~equals this chip's entire
+peak, so vs_baseline is hardware-capped near ~0.5-0.7 here;
+mfu_vs_chip_peak is the hardware-independent signal.
 """
 
 import json
