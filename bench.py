@@ -279,12 +279,12 @@ def bench_dual_engine(model, arch, params, peak: float) -> dict:
 
     # aligned-grid dual engine (fused Pallas accumulate on BOTH heads) —
     # the fastest dual configuration (docs/BENCHMARKS.md round-4 dual
-    # section); device-resident like the parity-dual number above
+    # section); device-resident like the parity-dual number above, via the
+    # SAME scan the serving path runs (_sliding_window_scan_dual_aligned)
+    n_tiles_al = None
     try:
         from rehrseg_tpu.infer.sliding_window import (
-            _aligned_prep, _sliding_window_scan_aligned,
-            _mirror_batch_zgrouped, _device_gaussian as _dg)
-        from rehrseg_tpu.ops.pallas_tail import accumulate_tta_tile
+            _aligned_prep, _sliding_window_scan_dual_aligned)
 
         def dual_fn_planes(p, batch):
             return segmodel_apply_packed(arch, p,
@@ -295,35 +295,13 @@ def bench_dual_engine(model, arch, params, peak: float) -> dict:
         dev_al, starts_al, g_hr_al, patch_al, shape_al, interp = \
             _aligned_prep(vol_p, PATCH, TILE_STEP, True, 4,
                           COMPUTE_DTYPE, None)
-        g_lr_al = _dg(patch_al, True)
-        pd, ph, pw = patch_al
-
-        @jax.jit
-        def run_dual_al(dev_data, starts_d):
-            llr0 = jnp.zeros((2, *shape_al), jnp.float32)
-            lhr0 = jnp.zeros((2, shape_al[0] * 4, shape_al[1],
-                              shape_al[2]), jnp.float32)
-
-            def tile_step(carry, start):
-                llr, lhr = carry
-                tile = jax.lax.dynamic_slice(
-                    dev_data, (start[0], start[1], start[2], 0),
-                    (pd, ph, pw, dev_data.shape[-1]))
-                batch = _mirror_batch_zgrouped(tile)
-                p_lr, p_hr = dual_fn_planes(params, batch)
-                llr = accumulate_tta_tile(llr, p_lr, g_lr_al, start,
-                                          z_scale=1, interpret=interp)
-                lhr = accumulate_tta_tile(lhr, p_hr, g_hr_al, start,
-                                          z_scale=4, interpret=interp)
-                return (llr, lhr), None
-
-            (llr, lhr), _ = jax.lax.scan(tile_step, (llr0, lhr0),
-                                         starts_d)
-            return (jnp.argmax(llr, 0).astype(jnp.uint8),
-                    jnp.argmax(lhr, 0).astype(jnp.uint8))
+        g_lr_al = _device_gaussian(patch_al, True)
+        n_tiles_al = int(starts_al.shape[0])
 
         def run_dual_al_timed():
-            a, b = run_dual_al(dev_al, starts_al)
+            a, b = _sliding_window_scan_dual_aligned(
+                dual_fn_planes, params, dev_al, starts_al, g_lr_al,
+                g_hr_al, patch_al, shape_al, 4, 2, interp)
             return float(consume(a, b))
 
         run_dual_al_timed()
@@ -351,6 +329,22 @@ def bench_dual_engine(model, arch, params, peak: float) -> dict:
             # the tunnel's label fetch; the chip-side MFU is the signal
             res["dual_device_mfu_vs_chip_peak"] = round(
                 flops * n_tiles / min(dev_times) / 1e12 / peak, 3)
+    # raw FLOPs of the packed dual forward actually executed (packing
+    # inflation + the cell4z2 head's 4.8x included): the raw/parity gap IS
+    # the deliberate layout trade, same split the headline reports. The
+    # aligned attribution uses the ALIGNED grid's own tile count (snapped
+    # starts can dedup) and slightly understates: the fused kernel's H/W
+    # unflip permutation matmuls aren't in this forward's cost analysis.
+    flops_raw_dual = _flops_of(
+        dual_fn, params,
+        jnp.zeros((8 if MIRROR else 1, *PATCH, 1), COMPUTE_DTYPE))
+    if flops_raw_dual > 0 and peak:
+        res["dual_device_raw_mfu_vs_chip_peak"] = round(
+            flops_raw_dual * n_tiles / min(dev_times) / 1e12 / peak, 3)
+        if res.get("_dual_aligned_device_seconds") and n_tiles_al:
+            res["dual_aligned_device_raw_mfu_vs_chip_peak"] = round(
+                flops_raw_dual * n_tiles_al
+                / res["_dual_aligned_device_seconds"] / 1e12 / peak, 3)
     res["_dual_seconds_per_volume"] = dt
     return res
 

@@ -48,7 +48,6 @@ p = params["params"]
 w1, b1 = p["sr_head_conv1"]["kernel"], p["sr_head_conv1"]["bias"]
 w2, b2 = p["sr_head_conv2"]["kernel"], p["sr_head_conv2"]["bias"]
 
-rng = np.random.default_rng(0)
 # the decoder's aligned packed feature tap: (B, D, H/2, W/2, 32*4) —
 # generated on device (host gen + tunnel upload costs minutes at this size)
 feats = jax.random.normal(
@@ -126,9 +125,10 @@ def full_head_z2(f):
     m = offset_rim_mask(h1.shape[2], h1.shape[3], w1.shape[-1], h1.dtype)
     h1 = jax.nn.relu(h1) * m
     from rehrseg_tpu.ops.pack2d import (
-        pack_conv_weights_cell4z2, conv_packed_s2_cell4z2, unpack_cell4z2)
+        pack_conv_weights_cell4z2, conv_packed_s2_cell4z2, unpack_cell4z2,
+        pack_bias_cell4z2)
     wp2 = pack_conv_weights_cell4z2(w2)
-    out = conv_packed_s2_cell4z2(h1, wp2, jnp.tile(b2, 32))
+    out = conv_packed_s2_cell4z2(h1, wp2, pack_bias_cell4z2(b2))
     planes = unpack_cell4z2(out, w2.shape[-1])
     return sum(p.astype(jnp.float32).sum() for p in planes)
 
@@ -137,12 +137,12 @@ def full_head_z2(f):
 def full_head_fused(f):
     from rehrseg_tpu.ops.pack2d import (
         fused_upsample_conv1, pack_conv_weights_cell4z2,
-        conv_packed_s2_cell4z2, unpack_cell4z2)
+        conv_packed_s2_cell4z2, unpack_cell4z2, pack_bias_cell4z2)
     h1 = fused_upsample_conv1(f, w1, b1, UP)
     m = offset_rim_mask(h1.shape[2], h1.shape[3], w1.shape[-1], h1.dtype)
     h1 = jax.nn.relu(h1) * m
     wp2 = pack_conv_weights_cell4z2(w2)
-    out = conv_packed_s2_cell4z2(h1, wp2, jnp.tile(b2, 32))
+    out = conv_packed_s2_cell4z2(h1, wp2, pack_bias_cell4z2(b2))
     planes = unpack_cell4z2(out, w2.shape[-1])
     return sum(p.astype(jnp.float32).sum() for p in planes)
 

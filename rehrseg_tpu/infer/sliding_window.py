@@ -683,6 +683,45 @@ def predict_sliding_window_labels_aligned_many(
             for p, s in zip(pending, shapes)]
 
 
+@partial(jax.jit, static_argnames=("model_fn", "patch_size", "out_shape",
+                                   "sep", "num_classes", "interpret"))
+def _sliding_window_scan_dual_aligned(model_fn: Callable, params,
+                                      data: jnp.ndarray,
+                                      starts: jnp.ndarray,
+                                      g_lr: jnp.ndarray, g_hr: jnp.ndarray,
+                                      patch_size: tuple, out_shape: tuple,
+                                      sep: int, num_classes: int,
+                                      interpret: bool):
+    """Aligned-grid DUAL tile loop with the fused Pallas accumulate kernel
+    on both heads. model_fn(params, batch) returns (lr_planes, hr_planes)
+    per-class planes for a z-grouped mirror batch. Returns uint8
+    (lr_labels, hr_labels) ON DEVICE (the serving predictor fetches them;
+    bench.py consumes them device-side)."""
+    from ..ops.pallas_tail import accumulate_tta_tile
+
+    pd, ph, pw = patch_size
+    llr0 = jnp.zeros((num_classes, *out_shape), jnp.float32)
+    lhr0 = jnp.zeros((num_classes, out_shape[0] * sep, out_shape[1],
+                      out_shape[2]), jnp.float32)
+
+    def tile_step(carry, start):
+        llr, lhr = carry
+        tile = lax.dynamic_slice(
+            data, (start[0], start[1], start[2], 0),
+            (pd, ph, pw, data.shape[-1]))
+        batch = _mirror_batch_zgrouped(tile)
+        p_lr, p_hr = model_fn(params, batch)
+        llr = accumulate_tta_tile(llr, p_lr, g_lr, start, z_scale=1,
+                                  interpret=interpret)
+        lhr = accumulate_tta_tile(lhr, p_hr, g_hr, start, z_scale=sep,
+                                  interpret=interpret)
+        return (llr, lhr), None
+
+    (llr, lhr), _ = lax.scan(tile_step, (llr0, lhr0), starts)
+    return (jnp.argmax(llr, 0).astype(jnp.uint8),
+            jnp.argmax(lhr, 0).astype(jnp.uint8))
+
+
 def predict_sliding_window_dual_labels_aligned(
         model_fn: Callable, params, data: np.ndarray, patch_size,
         *, slice_separation: int, tile_step_size: float = 0.5,
@@ -691,40 +730,15 @@ def predict_sliding_window_dual_labels_aligned(
     """One-pass aligned-grid LR+HR prediction with the fused kernel on both
     heads. model_fn returns (lr_planes, hr_planes). Returns
     (lr_labels, hr_labels) uint8 cropped to the input size."""
-    from ..ops.pallas_tail import accumulate_tta_tile
-
     d0, h0, w0 = data.shape[:3]
     sep = int(slice_separation)
     dev, starts, g_hr, patch_size, shape, interp = _aligned_prep(
         data, patch_size, tile_step_size, use_gaussian, sep, input_dtype,
         interpret)
     g_lr = _device_gaussian(patch_size, bool(use_gaussian))
-    pd, ph, pw = patch_size
-
-    @partial(jax.jit, static_argnames=())
-    def run(dev_data, starts_d):
-        llr0 = jnp.zeros((num_classes, *shape), jnp.float32)
-        lhr0 = jnp.zeros((num_classes, shape[0] * sep, shape[1], shape[2]),
-                         jnp.float32)
-
-        def tile_step(carry, start):
-            llr, lhr = carry
-            tile = lax.dynamic_slice(
-                dev_data, (start[0], start[1], start[2], 0),
-                (pd, ph, pw, dev_data.shape[-1]))
-            batch = _mirror_batch_zgrouped(tile)
-            p_lr, p_hr = model_fn(params, batch)
-            llr = accumulate_tta_tile(llr, p_lr, g_lr, start, z_scale=1,
-                                      interpret=interp)
-            lhr = accumulate_tta_tile(lhr, p_hr, g_hr, start, z_scale=sep,
-                                      interpret=interp)
-            return (llr, lhr), None
-
-        (llr, lhr), _ = lax.scan(tile_step, (llr0, lhr0), starts_d)
-        return (jnp.argmax(llr, 0).astype(jnp.uint8),
-                jnp.argmax(lhr, 0).astype(jnp.uint8))
-
-    lab_lr, lab_hr = run(dev, starts)
+    lab_lr, lab_hr = _sliding_window_scan_dual_aligned(
+        model_fn, params, dev, starts, g_lr, g_hr, patch_size, shape,
+        sep, int(num_classes), interp)
     return (np.asarray(lab_lr)[:d0, :h0, :w0],
             np.asarray(lab_hr)[:d0 * sep, :h0, :w0])
 

@@ -43,6 +43,7 @@ from ..ops.pack2d import (
     pack_conv_weights_cell4, pack_bias_cell4, conv_packed_s2_cell4,
     depth_to_space_cell,
     pack_conv_weights_cell4z2, conv_packed_s2_cell4z2, unpack_cell4z2,
+    pack_bias_cell4z2,
     fused_upsample_conv1,
 )
 
@@ -412,7 +413,7 @@ def segmodel_apply_packed(arch: dict, params, x, *, num_classes: int = 2,
                     # fast MXU regime) for 6/5 the z taps
                     wp2 = pack_conv_weights_cell4z2(w2_)
                     out = conv_packed_s2_cell4z2(
-                        h1, wp2, jnp.tile(b2_, 32))
+                        h1, wp2, pack_bias_cell4z2(b2_))
                     planes = unpack_cell4z2(out, ncl)
                     if plane_out:
                         return jnp.stack(planes, axis=1)

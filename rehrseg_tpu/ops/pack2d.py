@@ -244,6 +244,12 @@ def pack_conv_weights_cell4z2(w: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate(cols, axis=-1)
 
 
+def pack_bias_cell4z2(b: jnp.ndarray) -> jnp.ndarray:
+    """(C,) -> (32C,) tiled over the thirty-two (ez, ey, ex) output groups
+    (group-major, class-minor — the conv_packed_s2_cell4z2 layout)."""
+    return jnp.tile(b, 32)
+
+
 def conv_packed_s2_cell4z2(xp: jnp.ndarray, wp: jnp.ndarray, b) -> jnp.ndarray:
     """OFFSET (2,2)-packed (B, D, H/2+1, W/2+1, 4Ci) -> z-paired ALIGNED
     (4,4)-cell (B, D/2, H/4, W/4, 32Co) via the pack_conv_weights_cell4z2

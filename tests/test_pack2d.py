@@ -274,14 +274,15 @@ def test_packed_conv_s2_cell4z2(rng):
     (4,4) hw space-to-depth + z-pairing (64 output lanes for the 2-class
     sr_head — experiments/conv2_lanes.py)."""
     from rehrseg_tpu.ops.pack2d import (
-        pack_conv_weights_cell4z2, conv_packed_s2_cell4z2, unpack_cell4z2)
+        pack_conv_weights_cell4z2, conv_packed_s2_cell4z2, unpack_cell4z2,
+        pack_bias_cell4z2)
     x = jnp.asarray(rng.normal(size=(2, 8, 16, 24, 3)).astype(np.float32))
     w = jnp.asarray(rng.normal(size=(5, 5, 5, 3, 2)).astype(np.float32))
     b = jnp.asarray(rng.normal(size=(2,)).astype(np.float32))
     ref = _conv_ref(x, w) + b
     yp = conv_packed_s2_cell4z2(offset_pack_hw(x),
                                 pack_conv_weights_cell4z2(w),
-                                jnp.tile(b, 32))
+                                pack_bias_cell4z2(b))
     assert yp.shape == (2, 4, 4, 6, 64)
     planes = unpack_cell4z2(yp, 2)
     got = jnp.stack(planes, axis=-1)

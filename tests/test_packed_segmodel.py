@@ -216,3 +216,23 @@ def test_packed_unusual_strides_fall_back(rng):
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(got_hr), np.asarray(ref_hr),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_packed_dual_three_classes(rng):
+    """num_classes=3 exercises the cell4z2 output layout's (group, class)
+    interleave (channels c::ncl) with a non-power-of-two class count —
+    layout bugs in the z2/cell4 slicing can't hide behind ncl=2."""
+    model = SegModel(num_classes=3, upscale=4, arch=dict(ARCH_SMALL))
+    x = jnp.asarray(rng.normal(size=(1, 8, 32, 48, 1)).astype(np.float32))
+    params = model.init(jax.random.key(0), x)
+    params = jax.tree.map(
+        lambda a: a + 0.05 * np.random.default_rng(a.size).standard_normal(
+            a.shape).astype(a.dtype), params)
+    ref_lr, ref_hr = model.apply(params, x)
+    got_lr, got_hr = segmodel_apply_packed(
+        ARCH_SMALL, params, x, num_classes=3, pack_max_channels=64,
+        dual=True, upscale=4)
+    np.testing.assert_allclose(np.asarray(got_lr), np.asarray(ref_lr),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_hr), np.asarray(ref_hr),
+                               rtol=2e-4, atol=2e-4)
