@@ -62,7 +62,11 @@ enable_compilation_cache()
 PATCH = (16, 320, 384)
 VOLUME = (20, 455, 633)      # reference example volume (seg_utils.py:757)
 SR_VOLUME = (455, 633, 20)   # same geometry as (x, y, thin-z) for stage-1 SR
-SR_BATCH = 2                 # FLAVR windows per lax.map chunk (HBM-bound)
+SR_BATCH = 8                 # FLAVR windows per lax.map chunk — matches the
+                             # production default (infer_flavr_volume batch=8)
+                             # and measured fastest: 33.7 Mvox/s vs 30.0 at
+                             # the old HBM-cautious 2 (86.7 vs 65.1 eq TF/s;
+                             # sweep in docs/BENCHMARKS.md round 4)
 TILE_STEP = 0.5
 MIRROR = True
 COMPUTE_DTYPE = jnp.bfloat16
