@@ -152,6 +152,55 @@ def _cached_volume_forward(model, out_index: int, batch: int,
     return _VOL_FWD_CACHE[key][1]
 
 
+def _dispatch_volume_forward(model, params, vol_zhw, x, y, z, n_crop,
+                             out_index, batch, compute_dtype):
+    """Dispatch the device-resident volume forward (async — returns as
+    soon as the computation is enqueued) and return (pending, finalize);
+    finalize() fetches and postprocesses to the (x, y, z_out, c_out)
+    layout infer_flavr_volume returns."""
+    fwd = _cached_volume_forward(model, out_index, batch, compute_dtype)
+    pending = fwd(params, jnp.asarray(vol_zhw))
+
+    def finalize():
+        out = np.asarray(pending)
+        if out.dtype != np.float32:
+            # bf16 compute: fetch stays half-size; widen on host for the
+            # numpy postprocessing/NIfTI chain
+            out = out.astype(np.float32)
+        out = out.reshape(z - 1, 4, *out.shape[1:])
+        out = out[:, :, :x, :y]              # strip the x16 padding
+        zo = out.shape[0] * out.shape[1]
+        out = out.reshape(zo, x, y, out.shape[-1])
+        if n_crop:
+            out = out[:-n_crop]
+        return out.transpose(1, 2, 0, 3)     # (x, y, z_out, c_out)
+
+    return pending, finalize
+
+
+def infer_flavr_volume_async(model, params, volume: np.ndarray,
+                             slice_separation: float,
+                             out_index: int | None = None, batch: int = 8,
+                             compute_dtype=None):
+    """Async variant of infer_flavr_volume (device path only): dispatches
+    the forward and returns finalize() -> (x, y, z_out, c_out). The caller
+    overlaps this subject's device compute with the previous subject's
+    fetch/write and the next subject's host prep — pipeline stage-1c runs
+    a 1-deep software pipeline over subjects (the reference runs each
+    volume start-to-finish serially, sr_utils.py:98-175)."""
+    vol, n_crop = _pad_z_for_rational_sr(volume, slice_separation)
+    x, y, z, c = vol.shape
+    vol_zhw = vol.transpose(2, 0, 1, 3)
+    pad_h = (-x) % 16
+    pad_w = (-y) % 16
+    if pad_h or pad_w:
+        vol_zhw = np.pad(vol_zhw, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    _, finalize = _dispatch_volume_forward(
+        model, params, vol_zhw, x, y, z, n_crop,
+        out_index if out_index is not None else 0, batch, compute_dtype)
+    return finalize
+
+
 def infer_flavr_volume(model, params, volume: np.ndarray,
                        slice_separation: float, out_index: int | None = None,
                        batch: int = 8, device: bool = True,
@@ -180,15 +229,11 @@ def infer_flavr_volume(model, params, volume: np.ndarray,
         vol_zhw = np.pad(vol_zhw, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
 
     if device:
-        fwd = _cached_volume_forward(model,
-                                     out_index if out_index is not None
-                                     else 0, batch, compute_dtype)
-        out = np.asarray(fwd(params, jnp.asarray(vol_zhw)))
-        if out.dtype != np.float32:
-            # bf16 compute: fetch stays half-size; widen on host for the
-            # numpy postprocessing/NIfTI chain
-            out = out.astype(np.float32)
-        out = out.reshape(z - 1, 4, *out.shape[1:])
+        _, finalize = _dispatch_volume_forward(
+            model, params, vol_zhw, x, y, z, n_crop,
+            out_index if out_index is not None else 0, batch,
+            compute_dtype)
+        return finalize()
     else:
         windows = flavr_windows(vol_zhw)  # (z-1, 4, H, W, c)
         nw = windows.shape[0]

@@ -604,6 +604,25 @@ class Pipeline:
             # host-local copies: the inference jits then carry no
             # collectives, so the primary can run them alone
             params = self._mh.localize(params)
+        # 1-deep software pipeline over subjects: subject N's device
+        # compute is dispatched BEFORE subject N-1's fetch/postprocess/
+        # NIfTI-gzip write, so host IO and chip compute overlap (the
+        # reference runs each volume start-to-finish serially,
+        # sr_utils.py:98-175). Writes still land in subject order, so the
+        # skip-if-exists resume contract is unchanged.
+        from .infer.sr_infer import infer_flavr_volume_async
+
+        def _flush(pend):
+            finalize, subject_, ref_, out_base_, omin, omax = pend
+            out = restore_intensity(finalize(), omin, omax)
+            if not uncertainty:
+                write_sr_niftis(ref_, out_base_, sep, img_xyz=out[..., 0],
+                                seg_xyz=out[..., 1])
+                self._log_sr_psnr(subject_, out[..., 0].transpose(2, 1, 0))
+            else:
+                write_sr_niftis(ref_, out_base_, sep, unc_xyz=out[..., 0])
+
+        pending = None
         for subject in sorted(os.listdir(self.merge_data_path)):
             base = os.path.join(self.flavr_output_path, subject)
             img_file = base.replace(".nii.gz", "_img.nii.gz")
@@ -617,22 +636,16 @@ class Pipeline:
             ref = nifti.read_image_itk(
                 os.path.join(self.cfg.data_path, subject))
             out_base = base.replace(".nii.gz", "")
-            if not uncertainty:
-                out = infer_flavr_volume(model, params,
-                                         image.astype(np.float32), sep,
-                                         out_index=0,
-                                         compute_dtype=self._sr_infer_dtype)
-                out = restore_intensity(out, orig_min, orig_max)
-                write_sr_niftis(ref, out_base, sep, img_xyz=out[..., 0],
-                                seg_xyz=out[..., 1])
-                self._log_sr_psnr(subject, out[..., 0].transpose(2, 1, 0))
-            else:
-                out = infer_flavr_volume(model, params,
-                                         image.astype(np.float32), sep,
-                                         out_index=1,
-                                         compute_dtype=self._sr_infer_dtype)
-                out = restore_intensity(out, orig_min, orig_max)
-                write_sr_niftis(ref, out_base, sep, unc_xyz=out[..., 0])
+            finalize = infer_flavr_volume_async(
+                model, params, image.astype(np.float32), sep,
+                out_index=1 if uncertainty else 0,
+                compute_dtype=self._sr_infer_dtype)
+            if pending is not None:
+                _flush(pending)
+            pending = (finalize, subject, ref, out_base,
+                       orig_min, orig_max)
+        if pending is not None:
+            _flush(pending)
         self._mh.barrier(f"flavr-infer-{uncertainty}")
 
     def _log_sr_psnr(self, subject: str, sr_img_zyx: np.ndarray):

@@ -189,3 +189,21 @@ def test_flavr_device_volume_bf16(rng):
     assert out.dtype == np.float32
     assert out.shape == ref.shape
     np.testing.assert_allclose(out, ref, rtol=0.05, atol=0.05)
+
+
+def test_flavr_volume_async_matches_sync(rng):
+    """infer_flavr_volume_async's finalize() must equal the sync device
+    path bit-exactly — it's the same dispatch, deferred fetch (the
+    stage-1c 1-deep subject pipeline rides on this)."""
+    from rehrseg_tpu.infer.sr_infer import infer_flavr_volume_async
+    vol = rng.normal(size=(5, 6, 7, 2)).astype(np.float32)
+    sync = np.asarray(infer_flavr_volume(_MockFLAVRJax(), {}, vol, SEP,
+                                         out_index=0, batch=4))
+    fin_a = infer_flavr_volume_async(_MockFLAVRJax(), {}, vol, SEP,
+                                     out_index=0, batch=4)
+    fin_b = infer_flavr_volume_async(_MockFLAVRJax(), {}, vol, SEP,
+                                     out_index=1, batch=4)  # overlap two
+    np.testing.assert_array_equal(np.asarray(fin_a()), sync)
+    ref_b = np.asarray(infer_flavr_volume(_MockFLAVRJax(), {}, vol, SEP,
+                                          out_index=1, batch=4))
+    np.testing.assert_array_equal(np.asarray(fin_b()), ref_b)
