@@ -368,14 +368,7 @@ class BatchLoader:
         self.dataset = dataset
         self.batch_size = batch_size
         self.rng = np.random.default_rng(seed)
-        if shard is not None:
-            index, count = shard
-            if batch_size % count != 0:
-                raise ValueError(
-                    f"global batch {batch_size} not divisible by "
-                    f"{count} processes")
-            if not (0 <= index < count):
-                raise ValueError(f"shard index {index} out of range [0,{count})")
+        _check_shard(batch_size, shard)
         self.shard = shard
 
     def next(self):
@@ -390,10 +383,28 @@ class BatchLoader:
         else:
             samples = [self.dataset.sample(rng=self.rng)
                        for _ in range(self.batch_size)]
-        if isinstance(samples[0], dict):
-            return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
-        n = len(samples[0])
-        return tuple(np.stack([s[j] for s in samples]) for j in range(n))
+        return _stack_samples(samples)
+
+
+def _stack_samples(samples):
+    """Batch-stack a list of per-sample dicts/tuples — the ONE place the
+    batch layout is defined (BatchLoader and the multiprocess workers must
+    stay byte-identical)."""
+    if isinstance(samples[0], dict):
+        return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+    n = len(samples[0])
+    return tuple(np.stack([s[j] for s in samples]) for j in range(n))
+
+
+def _check_shard(batch_size: int, shard):
+    if shard is None:
+        return
+    index, count = shard
+    if batch_size % count != 0:
+        raise ValueError(f"global batch {batch_size} not divisible by "
+                         f"{count} processes")
+    if not (0 <= index < count):
+        raise ValueError(f"shard index {index} out of range [0,{count})")
 
 
 def _mp_worker(dataset, task_q, out_q):
@@ -405,13 +416,7 @@ def _mp_worker(dataset, task_q, out_q):
         try:
             samples = [dataset.sample(rng=np.random.default_rng(int(s)))
                        for s in seeds]
-            if isinstance(samples[0], dict):
-                batch = {k: np.stack([s[k] for s in samples])
-                         for k in samples[0]}
-            else:
-                batch = tuple(np.stack([s[j] for s in samples])
-                              for j in range(len(samples[0])))
-            out_q.put((idx, "ok", batch))
+            out_q.put((idx, "ok", _stack_samples(samples)))
         except Exception as e:  # noqa: BLE001 — surfaced to the parent
             out_q.put((idx, "err", f"{type(e).__name__}: {e}"))
 
@@ -442,17 +447,19 @@ class MultiprocessBatchLoader:
                  shard: tuple[int, int] | None = None):
         import multiprocessing as mp
 
-        if shard is not None:
-            index, count = shard
-            if batch_size % count != 0:
-                raise ValueError(f"global batch {batch_size} not divisible "
-                                 f"by {count} processes")
-            if not (0 <= index < count):
-                raise ValueError(f"shard index {index} out of range")
+        _check_shard(batch_size, shard)
         self.shard = shard
         self.batch_size = batch_size
         self.rng = np.random.default_rng(seed)
-        ctx = mp.get_context("fork")
+        # fork shares the preloaded volumes copy-on-write, but forking a
+        # multi-threaded JAX-initialized parent is deadlock-prone if any
+        # thread holds a lock at fork time (Python 3.12 warns about
+        # exactly this). The liveness watchdog in next() turns a hung or
+        # dead child into a loud error instead of a silent stall (which
+        # on a pod would deadlock every other host at the next
+        # collective); REHRSEG_MP_CONTEXT=spawn|forkserver opts into a
+        # lock-safe start method when the dataset is cheap to pickle.
+        ctx = mp.get_context(os.environ.get("REHRSEG_MP_CONTEXT", "fork"))
         self._task_q = ctx.Queue()
         self._out_q = ctx.Queue()
         self._procs = [ctx.Process(target=_mp_worker,
@@ -479,11 +486,26 @@ class MultiprocessBatchLoader:
             self._next_submit += 1
 
     def next(self):
+        import queue as _queue
+
         if self._closed:
             raise RuntimeError("MultiprocessBatchLoader is closed")
         self._pump()
         while self._next_emit not in self._buffer:
-            idx, status, item = self._out_q.get()
+            try:
+                idx, status, item = self._out_q.get(timeout=5.0)
+            except _queue.Empty:
+                dead = [p for p in self._procs if not p.is_alive()]
+                if dead:
+                    self.close()
+                    raise RuntimeError(
+                        f"{len(dead)} loader worker process(es) died "
+                        f"(exitcodes {[p.exitcode for p in dead]}) — a "
+                        "crashed/OOM-killed child cannot report through "
+                        "the queue; falling back to loader_workers=0 or "
+                        "REHRSEG_MP_CONTEXT=spawn avoids fork-related "
+                        "deaths") from None
+                continue
             if status == "err":
                 raise RuntimeError(f"loader worker failed: {item}")
             self._buffer[idx] = item

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -50,18 +51,20 @@ def zgrouped_combos():
     return [(), (1,), (2,), (1, 2), (0,), (0, 1), (0, 2), (0, 1, 2)]
 
 
-def _pick_dp(od: int, ph: int, pw: int) -> int:
+def _pick_dp(od: int, ph: int, pw: int, itemsize: int = 2) -> int:
     """z-planes per pipeline step: 2 when the double-buffered working set
     fits the ~16 MB/core VMEM (measured: dp=2 at (320, 384) planes wants
-    18 MB and Mosaic refuses), else 1."""
+    18 MB and Mosaic refuses), else 1. itemsize = preds/gaussian dtype
+    bytes (2 for the bf16 production path; fp32 callers double these
+    slots and must not be sized as if they were bf16)."""
     if od % 2:
         return 1
     plane = ph * pw
-    est = (2 * 2 * (4 * 2 * plane * 2)     # pa + pb, 2 slots, bf16
-           + 2 * 2 * plane * 2             # gaussian, 2 slots, bf16
-           + 2 * 2 * plane * 4             # accumulator, 2 slots, fp32
-           + (ph * ph + pw * pw) * 2       # reversal matrices
-           + 6 * plane * 4)                # live fp32 temporaries
+    est = (2 * 2 * (4 * 2 * plane * itemsize)  # pa + pb, 2 slots
+           + 2 * 2 * plane * itemsize          # gaussian, 2 slots
+           + 2 * 2 * plane * 4                 # accumulator, 2 slots, fp32
+           + (ph * ph + pw * pw) * itemsize    # reversal matrices
+           + 6 * plane * 4)                    # live fp32 temporaries
     return 2 if est <= 12 * 1024 * 1024 else 1
 
 
@@ -78,7 +81,7 @@ def _kernel(off_ref, preds_hbm, g_hbm, ph_rev, pw_rev, acc_hbm, out_hbm, *,
     # DP z-planes per pipeline step (fewer, larger DMAs — per-descriptor
     # latency dominates 245 KB copies); step = k * n_classes + c so the
     # gaussian block is fetched once per k and reused across classes
-    dp = _pick_dp(od, ph, pw)
+    dp = _pick_dp(od, ph, pw, np.dtype(preds_hbm.dtype).itemsize)
     n_k = od // dp
     total = n_k * n_classes
 

@@ -86,6 +86,14 @@ def assert_pod_consistency() -> None:
     batch and concurrently writes the same shared-storage artifacts."""
     hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
     n_hosts = len([h for h in hosts.split(",") if h.strip()])
+    # deliberate single-process runs on a pod host are legitimate: CPU
+    # smoke tests (the same exemption init_distributed applies — it never
+    # auto-inits a cpu backend) and an explicit REHRSEG_NUM_PROCESSES=1
+    # opt-out (distinguished from the unset default by presence)
+    if (os.environ.get("JAX_PLATFORMS") or "").startswith("cpu"):
+        return
+    if os.environ.get("REHRSEG_NUM_PROCESSES") == "1":
+        return
     if n_hosts > 1 and jax.process_count() == 1:
         raise RuntimeError(
             f"TPU_WORKER_HOSTNAMES lists {n_hosts} hosts but "

@@ -85,16 +85,20 @@ class Segmenter:
             from .models.segnet_packed import segmodel_apply_packed
             arch = dict(model.arch)
 
-            def lr_fn(p, batch):
-                return segmodel_apply_packed(
-                    arch, p, batch.astype(self.compute_dtype),
-                    pack_max_channels=64)
+            def _packed_fn(dual: bool, plane_out: bool):
+                # one factory for all four packed-eval closures (LR/dual x
+                # channel-last/plane-out) so the aligned path can never
+                # drift out of sync with the parity path
+                def fn(p, batch):
+                    kw = dict(pack_max_channels=64, plane_out=plane_out)
+                    if dual:
+                        kw.update(dual=True, upscale=model.upscale)
+                    return segmodel_apply_packed(
+                        arch, p, batch.astype(self.compute_dtype), **kw)
+                return fn
 
-            def dual_fn(p, batch):
-                return segmodel_apply_packed(
-                    arch, p, batch.astype(self.compute_dtype),
-                    pack_max_channels=64, dual=True,
-                    upscale=model.upscale)
+            lr_fn = _packed_fn(False, False)
+            dual_fn = _packed_fn(True, False)
         else:
             def lr_fn(p, batch):
                 return model.apply(p, batch.astype(self.compute_dtype))[0]
@@ -106,22 +110,8 @@ class Segmenter:
         self._dual_fn = dual_fn
 
         if self.tile_grid == "aligned":
-            from .models.segnet_packed import segmodel_apply_packed
-            arch_p = dict(model.arch)
-
-            def lr_fn_planes(p, batch):
-                return segmodel_apply_packed(
-                    arch_p, p, batch.astype(self.compute_dtype),
-                    pack_max_channels=64, plane_out=True)
-
-            def dual_fn_planes(p, batch):
-                return segmodel_apply_packed(
-                    arch_p, p, batch.astype(self.compute_dtype),
-                    pack_max_channels=64, dual=True,
-                    upscale=model.upscale, plane_out=True)
-
-            self._lr_fn_planes = lr_fn_planes
-            self._dual_fn_planes = dual_fn_planes
+            self._lr_fn_planes = _packed_fn(False, True)
+            self._dual_fn_planes = _packed_fn(True, True)
 
     # ------------------------------------------------------------- core
 
@@ -180,8 +170,19 @@ class Segmenter:
 
     def segment_many(self, volumes_zyx):
         """Pipelined batch segmentation: all scans dispatch before any label
-        map downloads, hiding tunnel transfers under device compute."""
+        map downloads, hiding tunnel transfers under device compute.
+        Honors tile_grid='aligned' (the batch path serves the same engine
+        as segment() — they must not diverge)."""
         prepped = [self._prep(v) for v in volumes_zyx]
+        if self.tile_grid == "aligned":
+            from .infer.sliding_window import (
+                predict_sliding_window_labels_aligned_many)
+            preds = predict_sliding_window_labels_aligned_many(
+                self._lr_fn_planes, self.params,
+                [vol_p for vol_p, _ in prepped], self.patch_size,
+                tile_step_size=self.tile_step_size)
+            return [crop(p, pads[:3])
+                    for p, (_, pads) in zip(preds, prepped)]
         pending = []
         for vol_p, _ in prepped:
             logits, _ = _run_sliding_window(

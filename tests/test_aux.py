@@ -208,6 +208,15 @@ def test_pod_consistency_check(monkeypatch):
     monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host-a")
     dist.assert_pod_consistency()  # single host → fine
     monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host-a,host-b,host-c,host-d")
+    # deliberate single-process runs are exempt (round-4 review): a CPU
+    # backend (the same exemption init_distributed applies) or an explicit
+    # REHRSEG_NUM_PROCESSES=1 opt-out
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    dist.assert_pod_consistency()
+    monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+    monkeypatch.setenv("REHRSEG_NUM_PROCESSES", "1")
+    dist.assert_pod_consistency()
+    monkeypatch.delenv("REHRSEG_NUM_PROCESSES", raising=False)
     with pytest.raises(RuntimeError, match="lists 4 hosts"):
         dist.assert_pod_consistency()
 

@@ -273,3 +273,24 @@ def test_multiprocess_loader_error_and_close(tmp_path, rng):
     mp.close()
     with pytest.raises(RuntimeError, match="closed"):
         mp.next()
+
+
+def test_multiprocess_loader_dead_worker_raises(tmp_path, rng):
+    """A worker process that DIES (OOM-kill, segfault) can't report through
+    the queue; the watchdog must turn the would-be-infinite next() wait
+    into a loud error (round-4 review: a silent stall would deadlock every
+    other pod host at the next collective)."""
+    import os as _os
+    import pytest
+    from rehrseg_tpu.data.datasets import MultiprocessBatchLoader
+
+    class Dies:
+        def sample(self, i=None, rng=None):
+            _os._exit(3)          # simulates a kill: no exception, no put
+
+    mp = MultiprocessBatchLoader(Dies(), batch_size=2, num_workers=1)
+    try:
+        with pytest.raises(RuntimeError, match="worker process"):
+            mp.next()
+    finally:
+        mp.close()

@@ -232,3 +232,18 @@ def test_segmenter_aligned_tile_grid(rng):
     with pytest.raises(ValueError, match="aligned"):
         Segmenter(model=model, params=params, patch_size=(4, 16, 16),
                   mirror=False, tile_grid="aligned")
+
+
+def test_segment_many_aligned_matches_single(rng):
+    """segment_many must serve the SAME engine as segment() under
+    tile_grid='aligned' (round-4 review: the batch path silently ran the
+    parity engine)."""
+    model = SegModel(num_classes=2, upscale=4, arch=SMALL_ARCH)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 4, 16, 16, 1)))
+    seg = Segmenter(model=model, params=params, patch_size=(4, 16, 16),
+                    slice_separation=4, mirror=True, tile_grid="aligned")
+    vols = [rng.normal(size=(5, 20, 16)).astype(np.float32),
+            rng.normal(size=(6, 16, 24)).astype(np.float32)]
+    many = seg.segment_many(vols)
+    for v, m in zip(vols, many):
+        np.testing.assert_array_equal(m, seg.segment(v))
