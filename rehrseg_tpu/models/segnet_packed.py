@@ -196,7 +196,8 @@ def _conv_norm_act(x, layout, cp, kernel, stride, feats, a, *,
 def segmodel_apply_packed(arch: dict, params, x, *, num_classes: int = 2,
                           upscale: int = 4, pack_max_channels: int = 128,
                           dual: bool = False, return_skips: bool = False,
-                          remat: bool = False, plane_out: bool = False):
+                          remat: bool = False, plane_out: bool = False,
+                          sr_head_form: str = "auto"):
     """Forward identical to SegModel.apply (models/segnet.py:176-186) with
     packed high-res stages. Returns lr_logits, (lr_logits, hr_logits) when
     ``dual``, or (lr, hr, skips) when ``return_skips`` (the KD student
@@ -222,7 +223,15 @@ def segmodel_apply_packed(arch: dict, params, x, *, num_classes: int = 2,
     channel-last — the layout the aligned-grid Pallas accumulate kernel
     consumes (ops/pallas_tail.py). Costs NOTHING extra on the packed path:
     the final depth_to_space simply runs per class (packed channel order
-    is (cell, class), so class c's four cells are ``lg[..., c::C]``)."""
+    is (cell, class), so class c's four cells are ``lg[..., c::C]``).
+
+    sr_head_form: which (mathematically identical) emission of the dual SR
+    head to use — "auto" (fused upsample/conv1 + z-paired stride-2 conv2,
+    the fastest eval form), "cell4" (fused conv1 + (4,4)-cell conv2, no
+    z-pairing), or "legacy" (explicit z-upsample + (2,2)-cell convs, the
+    round-3 form). The TRAINING step at production patch geometry sits
+    within ~1% of the 16 GB HBM cliff, and the auto form's backward tips
+    it over — make_seg_train_step selects the largest form that fits."""
     a = dict(arch)
     n = a["n_stages"]
     feats = a["features_per_stage"]
@@ -389,7 +398,7 @@ def segmodel_apply_packed(arch: dict, params, x, *, num_classes: int = 2,
             # with C=16/32 — unpacked, its activations are mostly lane
             # padding (the round-1 OOM). D-upsampling commutes with
             # in-plane packing.
-            if w1_.shape[0] == 3:
+            if w1_.shape[0] == 3 and sr_head_form != "legacy":
                 # upsample folded into conv1: spatial conv at LR depth +
                 # one composite z-matmul (exact; ~1.2x faster and skips
                 # the 4x-depth 128-lane intermediate — dual_pieces.py)
@@ -407,8 +416,9 @@ def segmodel_apply_packed(arch: dict, params, x, *, num_classes: int = 2,
             # ~25/16 the raw MACs and is ~5x faster end-to-end (measured,
             # experiments/conv2_lanes.py + dual_pieces.py). Needs true H,W
             # % 4 == 0 (h1 is offset-packed: plane = H/2+1).
-            if (h1.shape[2] - 1) % 2 == 0 and (h1.shape[3] - 1) % 2 == 0:
-                if h1.shape[1] % 2 == 0:
+            if ((h1.shape[2] - 1) % 2 == 0 and (h1.shape[3] - 1) % 2 == 0
+                    and sr_head_form != "legacy"):
+                if h1.shape[1] % 2 == 0 and sr_head_form != "cell4":
                     # z-paired variant: 32*ncl=64 output lanes (the full
                     # fast MXU regime) for 6/5 the z taps
                     wp2 = pack_conv_weights_cell4z2(w2_)

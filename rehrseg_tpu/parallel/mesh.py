@@ -26,7 +26,12 @@ def make_mesh(n_devices: int | None = None, spatial: int = 1,
     if n_devices is None:
         n_devices = len(devices)
     devices = np.asarray(devices[:n_devices])
-    assert n_devices % spatial == 0
+    if spatial < 1 or n_devices % spatial != 0:
+        raise ValueError(
+            f"mesh_spatial={spatial} must divide the visible device count "
+            f"({n_devices}); on a single chip only mesh_spatial=1 works — "
+            f"for CPU validation force more devices with "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count=N")
     grid = devices.reshape(n_devices // spatial, spatial)
     return Mesh(grid, axis_names=("data", "spatial"))
 

@@ -845,6 +845,16 @@ class Pipeline:
             return "hires"
         return True
 
+    def _sr_head_form(self):
+        """Packed SR-head emission for the TRAIN step (extra:
+        {sr_head_form: cell4|legacy|auto}). Default 'cell4' — the eval-
+        fastest 'auto' (z-paired conv2) form's backward exceeds 16 GB HBM
+        at production patch geometry, while 'cell4' fits AND is the
+        fastest fitting form (543 vs legacy's 561 ms/step — measured,
+        experiments/stage2_head_mem.py). Eval/serving keep 'auto'."""
+        return str((self.cfg.extra or {}).get("sr_head_form",
+                                              "cell4")).lower()
+
     def stage2_segsr(self, flavr_model=None, flavr_params=None):
         c = self.cfg
         sep = int(c.slice_separation)
@@ -899,7 +909,8 @@ class Pipeline:
             enable_distillation=c.enable_distillation,
             flavr_model=flavr_model, distiller=dist,
             teacher_window_chunk=(c.extra or {}).get("teacher_window_chunk"),
-            remat=self._remat_mode(), precision=self.precision)
+            remat=self._remat_mode(), precision=self.precision,
+            sr_head_form=self._sr_head_form())
 
         total_steps = c.epochs * iters_per_epoch
         batch_spec = None
@@ -1115,7 +1126,7 @@ class Pipeline:
             flavr_model=flavr_model, distiller=dist,
             teacher_window_chunk=(c.extra or {}).get("teacher_window_chunk"),
             remat=self._remat_mode(), donate=False,
-            precision=self.precision)
+            precision=self.precision, sr_head_form=self._sr_head_form())
         fold_step = make_fold_parallel_step(base_step, mesh)
 
         aug_fn = None

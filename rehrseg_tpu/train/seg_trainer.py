@@ -127,7 +127,8 @@ def make_seg_train_step(seg_model, tx: optax.GradientTransformation,
                         donate: bool = True,
                         packed: bool = True,
                         remat: bool = True,
-                        precision: str | None = None) -> Callable:
+                        precision: str | None = None,
+                        sr_head_form: str = "cell4") -> Callable:
     """Returns jitted step(state, flavr_params, batch) -> (state, metrics).
 
     `state.params` is {'seg': seg_params, 'distiller': distiller_params} when
@@ -149,6 +150,12 @@ def make_seg_train_step(seg_model, tx: optax.GradientTransformation,
     teacher in bfloat16 against fp32 master weights (train.precision);
     logits are cast back to fp32 at the loss boundary so every dice/CE/KD
     reduction stays fp32. None/'fp32' = exact reference-parity step.
+    sr_head_form: packed emission of the dual SR head ('auto'|'cell4'|
+    'legacy', see segmodel_apply_packed) — identical math, different
+    peak-HBM/backward cost. The production step at B=2 x (16,256,320)
+    sits within ~1% of the 16 GB cliff and the eval-fastest 'auto' form's
+    BACKWARD tips it over (measured, experiments/stage2_head_mem.py), so
+    the training default is the fitting form; eval paths keep 'auto'.
     """
     from ..losses import deep_supervision_weights
     from .precision import policy as _policy
@@ -170,7 +177,8 @@ def make_seg_train_step(seg_model, tx: optax.GradientTransformation,
             lr_logits, hr_logits, skips = segmodel_apply_packed(
                 packed_arch, seg_params, img_c, dual=True,
                 upscale=packed_upscale, pack_max_channels=64,
-                return_skips=True, remat=remat)
+                return_skips=True, remat=remat,
+                sr_head_form=sr_head_form)
         else:
             lr_logits, hr_logits, skips = seg_model.apply(
                 seg_params, img_c, return_intermediate_feature=True)

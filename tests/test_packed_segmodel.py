@@ -236,3 +236,49 @@ def test_packed_dual_three_classes(rng):
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(got_hr), np.asarray(ref_hr),
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("form", ["auto", "cell4", "legacy"])
+def test_packed_dual_sr_head_forms_match(rng, form):
+    """Every sr_head_form emission ('auto' fused+z2, 'cell4', 'legacy'
+    round-3) is the same math — all must equal the unpacked dual head.
+    The training step selects a form for peak-HBM reasons
+    (experiments/stage2_head_mem.py), so each must stay exact."""
+    model, params, x = _setup(ARCH_SMALL, rng)
+    ref_lr, ref_hr = model.apply(params, x)
+    got_lr, got_hr = segmodel_apply_packed(
+        ARCH_SMALL, params, x, pack_max_channels=64, dual=True, upscale=4,
+        sr_head_form=form)
+    np.testing.assert_allclose(np.asarray(got_lr), np.asarray(ref_lr),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_hr), np.asarray(ref_hr),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_packed_train_step_head_form_loss_parity(rng):
+    """The training step's loss is form-invariant (same forward math)."""
+    from rehrseg_tpu.train import (TrainState, nesterov_sgd,
+                                   make_seg_train_step, SegBatch)
+    from rehrseg_tpu.train.optim import poly_epoch_schedule
+
+    model = SegModel(num_classes=2, upscale=4, arch=dict(ARCH_SMALL))
+    b, d, h, w, sep = 2, 8, 32, 48, 4
+    img = rng.normal(size=(b, d, h, w, 1)).astype(np.float32)
+    lab_lr = (rng.normal(size=(b, d, h, w, 1)) > 0).astype(np.float32)
+    lab_hr = (rng.normal(size=(b, d * sep, h, w, 1)) > 0).astype(np.float32)
+    unc = rng.uniform(0.5, 1.0, size=(b, d, h, w, 1)).astype(np.float32)
+    batch = SegBatch(*[jnp.asarray(a) for a in (img, lab_lr, lab_hr, unc)])
+    params = model.init(jax.random.key(0), jnp.asarray(img[:1]))
+    tx = nesterov_sgd(poly_epoch_schedule(1e-3, 10, 5))
+
+    losses = {}
+    for form in ("auto", "cell4", "legacy"):
+        step = make_seg_train_step(model, tx, enable_uncertainty=True,
+                                   enable_distillation=False,
+                                   donate=False, packed=True,
+                                   sr_head_form=form)
+        state = TrainState.create(params, tx)
+        _, metrics = step(state, None, batch)
+        losses[form] = float(metrics["loss"])
+    assert losses["auto"] == pytest.approx(losses["cell4"], rel=1e-4)
+    assert losses["auto"] == pytest.approx(losses["legacy"], rel=1e-4)
