@@ -5,8 +5,15 @@ experiments/stage2_roofline.py, which established the aggregate: ~545 ms,
 The packed EVAL forward at the same geometry runs at ~0.68 raw MFU, so
 the question is WHICH backward/norm/optimizer ops eat the difference.
 Captures a jax.profiler trace of a few production-geometry steps and
-parses the xplane into HLO-op self-time ranking via
-tensorboard_plugin_profile's hlo_stats converter.
+ranks HLO-op self-times by parsing the xplane.pb directly (the
+tensorboard_plugin_profile converters are broken against this env's
+protobuf/tensorflow pairing, so we read the XSpace proto ourselves and
+aggregate the '/device:TPU:0' plane's 'XLA Ops' line).
+
+FINDING (round 4): the top op was a take_along_axis GATHER in
+robust_cross_entropy — 214 ms/step, 42% of the step, ~1.7 GB/s — plus
+~11.7 GiB of scatter-backward live buffers. Fixed by the one-hot
+multiply-sum form (losses.py); step 543 -> 275 ms (remat=all).
 
 Usage: python experiments/stage2_op_profile.py [--remat=all|hires|none]
 """
@@ -15,6 +22,10 @@ import glob
 import os
 import sys
 import time
+
+# must precede any google.protobuf import: the generated xplane_pb2 needs
+# the pure-python descriptor path in this environment
+os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -52,32 +63,47 @@ def build_step(remat):
     return step, state, batch
 
 
-def top_ops_from_trace(trace_dir, n=30):
-    """Parse the newest xplane.pb under trace_dir into (self_time_us, name,
-    category) rows using the tensorboard profile plugin's converter."""
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
+def top_ops_from_trace(trace_dir, n_steps=3):
+    """Parse the newest xplane.pb under trace_dir and aggregate per-op
+    device self-time + metadata from the TPU plane's 'XLA Ops' line.
+    Returns [(total_ps, name, meta_dict)] sorted desc."""
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     paths = sorted(glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
                              recursive=True), key=os.path.getmtime)
     if not paths:
         print("no xplane.pb captured (profiler may not support this backend)")
         return None
-    data = rtd.xspace_to_tool_data([paths[-1]], "hlo_stats", {})
-    if isinstance(data, tuple):
-        data = data[0]
-    import json
-    rows = None
-    try:
-        parsed = json.loads(data)
-        # gviz DataTable json: {"cols": [...], "rows": [{"c": [{"v": ...}]}]}
-        cols = [c.get("label") or c.get("id") for c in parsed["cols"]]
-        rows = [[cell.get("v") if cell else None for cell in r["c"]]
-                for r in parsed["rows"]]
-        return cols, rows
-    except Exception as e:
-        print(f"hlo_stats parse failed ({type(e).__name__}: {e}); raw head:")
-        print(str(data)[:2000])
+    xs = xplane_pb2.XSpace()
+    with open(paths[-1], "rb") as f:
+        xs.ParseFromString(f.read())
+    pl = next((p for p in xs.planes if p.name.startswith("/device:TPU")), None)
+    if pl is None:
+        print("no TPU device plane in trace; planes:",
+              [p.name for p in xs.planes])
         return None
+    ops_line = next((l for l in pl.lines if l.name == "XLA Ops"), None)
+    if ops_line is None:
+        print("no 'XLA Ops' line; lines:", [l.name for l in pl.lines])
+        return None
+
+    def stat_value(st):
+        if st.str_value:
+            return st.str_value
+        if st.ref_value:
+            return pl.stat_metadata[st.ref_value].name
+        return st.int64_value or st.uint64_value or st.double_value
+
+    agg, meta = {}, {}
+    for ev in ops_line.events:
+        m = pl.event_metadata[ev.metadata_id]
+        name = m.display_name or m.name
+        agg[name] = agg.get(name, 0) + ev.duration_ps
+        if name not in meta:
+            meta[name] = {pl.stat_metadata[st.metadata_id].name: stat_value(st)
+                          for st in m.stats}
+    return sorted(((ps, name, meta[name]) for name, ps in agg.items()),
+                  reverse=True)
 
 
 def main():
@@ -101,23 +127,17 @@ def main():
     jax.block_until_ready(m["loss"])
     jax.profiler.stop_trace()
 
-    out = top_ops_from_trace(TRACE_DIR)
-    if out is None:
+    rows = top_ops_from_trace(TRACE_DIR)
+    if not rows:
         return
-    cols, rows = out
-    print("columns:", cols)
-    # find the self-time column
-    tcol = next((i for i, c in enumerate(cols)
-                 if c and "self" in str(c).lower() and "time" in str(c).lower()),
-                None)
-    if tcol is None:
-        tcol = 2
-    rows.sort(key=lambda r: -(r[tcol] or 0))
-    total = sum((r[tcol] or 0) for r in rows)
-    print(f"total self time: {total:.0f} (col {cols[tcol]}); top 30:")
-    for r in rows[:30]:
-        frac = (r[tcol] or 0) / max(total, 1e-9)
-        print(f"  {frac:6.1%}  {r[tcol]:>12}  {str(r)[:180]}")
+    total = sum(ps for ps, _, _ in rows)
+    n_steps = 3
+    print(f"device op time {total / 1e9:.1f} ms over {n_steps} steps; top 30:")
+    for ps, name, md in rows[:30]:
+        src = str(md.get("source", "")).split("/")[-1]
+        print(f"  {ps / total:6.1%} {ps / (n_steps * 1e9):8.3f} ms/step  "
+              f"[{md.get('hlo_category', '?')}] {name[:60]}  "
+              f"{str(md.get('tf_op', ''))[:60]}  {src}")
 
 
 if __name__ == "__main__":

@@ -227,11 +227,12 @@ def segmodel_apply_packed(arch: dict, params, x, *, num_classes: int = 2,
 
     sr_head_form: which (mathematically identical) emission of the dual SR
     head to use — "auto" (fused upsample/conv1 + z-paired stride-2 conv2,
-    the fastest eval form), "cell4" (fused conv1 + (4,4)-cell conv2, no
-    z-pairing), or "legacy" (explicit z-upsample + (2,2)-cell convs, the
-    round-3 form). The TRAINING step at production patch geometry sits
-    within ~1% of the 16 GB HBM cliff, and the auto form's backward tips
-    it over — make_seg_train_step selects the largest form that fits."""
+    the fastest form and since the one-hot CE fix also the smallest in
+    training: 4.30 GiB peak at production geometry), "cell4" (fused conv1
+    + (4,4)-cell conv2, no z-pairing), or "legacy" (explicit z-upsample +
+    (2,2)-cell convs, the round-3 form). cell4/legacy are retained as
+    fallbacks for memory-tighter geometries (sweep:
+    experiments/stage2_head_mem.py)."""
     a = dict(arch)
     n = a["n_stages"]
     feats = a["features_per_stage"]

@@ -835,9 +835,12 @@ class Pipeline:
 
     def _remat_mode(self):
         """Stage-2 remat policy (extra: {remat: all|hires|none}). Default
-        'all' — guaranteed to fit 16 GB HBM with distillation on. 'none'
-        measured ~10%% faster when it fits (experiments/remat_sweep.py);
-        'hires' is the middle ground."""
+        'all' — guaranteed to fit 16 GB HBM with distillation on (the
+        distilled step's peak cannot be compile-checked in this
+        environment). 'none' measured ~13-15%% faster when it fits
+        (235 vs 275 ms/step with the 'auto' head, 8.4 GiB non-distilled
+        peak — experiments/remat_sweep.py); 'hires' is the middle
+        ground."""
         mode = str((self.cfg.extra or {}).get("remat", "all")).lower()
         if mode in ("none", "false", "off"):
             return False
@@ -847,13 +850,14 @@ class Pipeline:
 
     def _sr_head_form(self):
         """Packed SR-head emission for the TRAIN step (extra:
-        {sr_head_form: cell4|legacy|auto}). Default 'cell4' — the eval-
-        fastest 'auto' (z-paired conv2) form's backward exceeds 16 GB HBM
-        at production patch geometry, while 'cell4' fits AND is the
-        fastest fitting form (543 vs legacy's 561 ms/step — measured,
-        experiments/stage2_head_mem.py). Eval/serving keep 'auto'."""
+        {sr_head_form: auto|cell4|legacy}). Default 'auto' — since the
+        one-hot CE fix (losses.py) freed ~11.7 GiB of gather/scatter live
+        buffers it is both the fastest and the smallest form (measured
+        271-275 ms/step, 4.30 GiB peak at production geometry —
+        experiments/stage2_head_mem.py). cell4/legacy remain as fallbacks
+        for memory-tighter geometries."""
         return str((self.cfg.extra or {}).get("sr_head_form",
-                                              "cell4")).lower()
+                                              "auto")).lower()
 
     def stage2_segsr(self, flavr_model=None, flavr_params=None):
         c = self.cfg

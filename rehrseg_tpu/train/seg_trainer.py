@@ -128,7 +128,7 @@ def make_seg_train_step(seg_model, tx: optax.GradientTransformation,
                         packed: bool = True,
                         remat: bool = True,
                         precision: str | None = None,
-                        sr_head_form: str = "cell4") -> Callable:
+                        sr_head_form: str = "auto") -> Callable:
     """Returns jitted step(state, flavr_params, batch) -> (state, metrics).
 
     `state.params` is {'seg': seg_params, 'distiller': distiller_params} when
@@ -152,10 +152,12 @@ def make_seg_train_step(seg_model, tx: optax.GradientTransformation,
     reduction stays fp32. None/'fp32' = exact reference-parity step.
     sr_head_form: packed emission of the dual SR head ('auto'|'cell4'|
     'legacy', see segmodel_apply_packed) — identical math, different
-    peak-HBM/backward cost. The production step at B=2 x (16,256,320)
-    sits within ~1% of the 16 GB cliff and the eval-fastest 'auto' form's
-    BACKWARD tips it over (measured, experiments/stage2_head_mem.py), so
-    the training default is the fitting form; eval paths keep 'auto'.
+    peak-HBM/backward cost. 'auto' (the eval emission) is the default:
+    it is both the fastest AND the smallest form (271-275 ms/step,
+    4.30 GiB peak at B=2 x (16,256,320) — experiments/stage2_head_mem.py
+    after the one-hot CE fix in losses.py freed ~11.7 GiB of gather/
+    scatter live buffers). The knob remains as a fallback for memory-
+    tighter geometries.
     """
     from ..losses import deep_supervision_weights
     from .precision import policy as _policy
