@@ -834,18 +834,21 @@ class Pipeline:
         return flavr_model, fstate.params
 
     def _remat_mode(self):
-        """Stage-2 remat policy (extra: {remat: all|hires|none}). Default
-        'all' — guaranteed to fit 16 GB HBM with distillation on (the
-        distilled step's peak cannot be compile-checked in this
-        environment). 'none' measured ~13-15%% faster when it fits
-        (235 vs 275 ms/step with the 'auto' head, 8.4 GiB non-distilled
-        peak — experiments/remat_sweep.py); 'hires' is the middle
-        ground."""
-        mode = str((self.cfg.extra or {}).get("remat", "all")).lower()
+        """Stage-2 remat policy (extra: {remat: auto|all|hires|none}).
+        Default 'auto': AOT-probe none -> hires against the device's
+        reported HBM budget and take the first that fits, falling back to
+        'all' (guaranteed fit) on probe failure — 'none' measured ~15%%
+        faster when it fits (235 vs 275 ms/step with the 'auto' head,
+        8.4 GiB non-distilled peak; see select_remat_mode and
+        docs/BENCHMARKS.md "CE-gather fix"). Explicit modes skip the
+        probe compiles."""
+        mode = str((self.cfg.extra or {}).get("remat", "auto")).lower()
         if mode in ("none", "false", "off"):
             return False
         if mode == "hires":
             return "hires"
+        if mode == "auto":
+            return "auto"
         return True
 
     def _sr_head_form(self):
@@ -908,13 +911,22 @@ class Pipeline:
         if self._agree(ckpt.has_checkpoint(self.segsr_ckpt)):
             state = ckpt.restore_checkpoint(self.segsr_ckpt, state)
 
-        step_fn = make_seg_train_step(
-            seg, tx, enable_uncertainty=c.enable_uncertainty,
-            enable_distillation=c.enable_distillation,
-            flavr_model=flavr_model, distiller=dist,
-            teacher_window_chunk=(c.extra or {}).get("teacher_window_chunk"),
-            remat=self._remat_mode(), precision=self.precision,
-            sr_head_form=self._sr_head_form())
+        def make_step(remat_mode):
+            return make_seg_train_step(
+                seg, tx, enable_uncertainty=c.enable_uncertainty,
+                enable_distillation=c.enable_distillation,
+                flavr_model=flavr_model, distiller=dist,
+                teacher_window_chunk=(c.extra or {}).get(
+                    "teacher_window_chunk"),
+                remat=remat_mode, precision=self.precision,
+                sr_head_form=self._sr_head_form())
+
+        remat_mode = self._remat_mode()
+        # 'auto' resolves lazily on the first batch (exact prod avals +
+        # shardings); every host must agree, so the primary probes and the
+        # decision broadcasts (compile results could in principle differ
+        # under host-skewed caches)
+        step_fn = None if remat_mode == "auto" else make_step(remat_mode)
 
         total_steps = c.epochs * iters_per_epoch
         batch_spec = None
@@ -968,6 +980,18 @@ class Pipeline:
                                    jnp.asarray(b["label_lr"]),
                                    jnp.asarray(b["label_hr"]),
                                    jnp.asarray(b["uncertainty_lr"]))
+              if step_fn is None:
+                  from .train.seg_trainer import select_remat_mode
+                  codes = {0: False, 1: "hires", 2: True}
+                  if self._mh.is_primary():
+                      mode, why = select_remat_mode(
+                          make_step, state, flavr_params, batch)
+                      print(f"remat auto-select: {mode!r} ({why})")
+                  else:
+                      mode, why = True, "non-primary"
+                  code = self._mh.broadcast_scalar(
+                      float({False: 0, "hires": 1, True: 2}[mode]))
+                  step_fn = make_step(codes[int(code)])
               state, metrics = step_fn(state, flavr_params, batch)
               timer.stop()
               if (it + 1) % 100 == 0 or it + 1 == total_steps:
@@ -1129,7 +1153,12 @@ class Pipeline:
             enable_distillation=c.enable_distillation,
             flavr_model=flavr_model, distiller=dist,
             teacher_window_chunk=(c.extra or {}).get("teacher_window_chunk"),
-            remat=self._remat_mode(), donate=False,
+            # fold-parallel wraps the step in shard_map; the AOT memory
+            # probe doesn't see through that, so 'auto' resolves to the
+            # guaranteed-fit mode here (set an explicit extra.remat to
+            # override)
+            remat=(True if self._remat_mode() == "auto"
+                   else self._remat_mode()), donate=False,
             precision=self.precision, sr_head_form=self._sr_head_form())
         fold_step = make_fold_parallel_step(base_step, mesh)
 

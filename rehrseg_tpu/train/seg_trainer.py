@@ -246,3 +246,67 @@ def make_seg_train_step(seg_model, tx: optax.GradientTransformation,
 
     donate_argnums = (0,) if donate else ()
     return jax.jit(step, donate_argnums=donate_argnums)
+
+
+def select_remat_mode(build_step, state, flavr_params, batch, *,
+                      bytes_limit: int | None = None,
+                      margin_bytes: int = 1 << 30,
+                      candidates=(False, "hires", True)):
+    """Pick the fastest remat mode whose compiler-reported peak HBM fits.
+
+    Remat trades recompute for activation memory; since the one-hot CE fix
+    (losses.py) the NO-remat step is ~15% faster when it fits (235 vs
+    275 ms/step at production geometry, 8.4 GiB non-distilled peak —
+    docs/BENCHMARKS.md "CE-gather fix"). But the peak depends on geometry,
+    head form, and the distillation teacher, so instead of a static
+    default this AOT-compiles the candidates fastest-to-safest and picks
+    the first whose XLA memory analysis fits ``bytes_limit -
+    margin_bytes``. Any compile failure (including the remote-compile
+    helper crash class) falls through to the next candidate; remat=True
+    (checkpoint every stage — the guaranteed-fit mode) is the terminal
+    fallback and is never probed.
+
+    build_step: mode -> jitted step(state, flavr_params, batch); the
+    concrete pytrees are only lowered/compiled, never executed, so
+    donation does not consume them. Returns (mode, reason).
+    """
+    if bytes_limit is None:
+        dev = jax.local_devices()[0]
+        try:
+            stats = dev.memory_stats() or {}
+        except Exception:  # noqa: BLE001 — backends without memory_stats
+            stats = {}
+        bytes_limit = stats.get("bytes_limit")
+        if not bytes_limit and dev.platform == "tpu":
+            # some TPU attachments (e.g. the tunneled axon backend) return
+            # no memory_stats; fall back to the generation's HBM capacity
+            # (conservative published figures per chip)
+            kinds = {"v5 lite": 16, "v5e": 16, "v4": 32, "v5p": 95,
+                     "v6 lite": 32, "v6e": 32, "v3": 16, "v2": 8}
+            kind = dev.device_kind.lower().replace("tpu", "").strip()
+            gib = next((v for k, v in kinds.items() if k in kind), None)
+            if gib:
+                bytes_limit = gib << 30
+    if not bytes_limit:
+        return True, "device reports no bytes_limit; remat=all (safe default)"
+    budget = int(bytes_limit) - int(margin_bytes)
+    last_err = None
+    for mode in candidates:
+        if mode is True:
+            break
+        try:
+            compiled = build_step(mode).lower(
+                state, flavr_params, batch).compile()
+            ma = compiled.memory_analysis()
+            peak = (ma.temp_size_in_bytes + ma.argument_size_in_bytes +
+                    ma.output_size_in_bytes - ma.alias_size_in_bytes)
+        except Exception as e:  # noqa: BLE001 — surface in the reason only
+            last_err = f"{type(e).__name__}: {str(e).splitlines()[0][:120]}"
+            continue
+        if peak <= budget:
+            return mode, (f"remat={mode!r}: peak {peak / 2**30:.2f} GiB fits "
+                          f"{budget / 2**30:.2f} GiB budget")
+    reason = "all probed candidates exceeded the budget or failed to compile"
+    if last_err:
+        reason += f" (last: {last_err})"
+    return True, reason

@@ -247,3 +247,44 @@ def test_spatial_sharded_seg_step(rng):
     # every device holds the full (replicated) params
     leaf = jax.tree.leaves(sh_state.params)[0]
     assert len(leaf.sharding.device_set) == 8
+
+
+def test_select_remat_mode(rng):
+    """The auto remat probe picks the fastest mode that fits the budget
+    (AOT memory analysis), falls back to remat=True when nothing fits or
+    when the device reports no budget (pipeline extra: {remat: auto})."""
+    from rehrseg_tpu.train.seg_trainer import select_remat_mode
+
+    seg = SegModel(num_classes=2, upscale=4, arch=SMALL_ARCH)
+    img = jnp.asarray(rng.normal(size=(2, 4, 16, 16, 1)).astype(np.float32))
+    lab_lr = jnp.asarray((rng.normal(size=(2, 4, 16, 16, 1)) > 0)
+                         .astype(np.float32))
+    lab_hr = jnp.asarray((rng.normal(size=(2, 16, 16, 16, 1)) > 0)
+                         .astype(np.float32))
+    params = seg.init(jax.random.key(0), img)
+    tx = nesterov_sgd(poly_epoch_schedule(1e-3, 10, 5))
+    state = TrainState.create(params, tx)
+    batch = SegBatch(img, lab_lr, lab_hr, jnp.zeros_like(lab_lr))
+
+    def build(mode):
+        return make_seg_train_step(seg, tx, enable_uncertainty=False,
+                                   enable_distillation=False, donate=False,
+                                   remat=mode)
+
+    # generous budget: the fastest candidate (no-remat) fits
+    mode, why = select_remat_mode(build, state, None, batch,
+                                  bytes_limit=1 << 40, margin_bytes=1 << 20)
+    assert mode is False, why
+    assert "fits" in why
+
+    # impossible budget: terminal fallback is the guaranteed-fit mode
+    mode, why = select_remat_mode(build, state, None, batch,
+                                  bytes_limit=2, margin_bytes=1)
+    assert mode is True
+    assert "exceeded" in why
+
+    # no budget reported (CPU memory_stats is None): safe default, no
+    # probe compiles
+    mode, why = select_remat_mode(build, state, None, batch)
+    assert mode is True
+    assert "bytes_limit" in why
