@@ -156,6 +156,67 @@ def _flops_of(fn, *args, compiled: bool = True) -> float:
         return 0.0
 
 
+def bench_train_step(peak: float) -> dict:
+    """Stage-2 training step at production geometry (B=2 x (16,256,320),
+    uncertainty, bf16 policy, packed, donate) in the pipeline's default
+    config: sr_head_form='auto' + remat auto-probed against the HBM
+    budget (select_remat_mode). Non-distilled — the distilled variant
+    cannot compile through this environment's tunnel helper
+    (docs/BENCHMARKS.md). Raw MFU counts executed FLOPs (remat recompute
+    and packing inflation included)."""
+    import numpy as np
+    from rehrseg_tpu.models import SegModel, DEFAULT_ARCH
+    from rehrseg_tpu.train import (TrainState, nesterov_sgd,
+                                   make_seg_train_step, SegBatch)
+    from rehrseg_tpu.train.optim import poly_epoch_schedule
+    from rehrseg_tpu.train.seg_trainer import select_remat_mode
+
+    b, d, h, w, sep = 2, 16, 256, 320, 4
+    rng = np.random.default_rng(0)
+    img = rng.normal(size=(b, d, h, w, 1)).astype(np.float32)
+    lab_lr = (rng.normal(size=(b, d, h, w, 1)) > 0).astype(np.float32)
+    lab_hr = (rng.normal(size=(b, d * sep, h, w, 1)) > 0).astype(np.float32)
+    unc = rng.uniform(0.5, 1.0, size=(b, d, h, w, 1)).astype(np.float32)
+    batch = SegBatch(*[jnp.asarray(a) for a in (img, lab_lr, lab_hr, unc)])
+    model = SegModel(num_classes=2, upscale=4, arch=dict(DEFAULT_ARCH))
+    params = jax.jit(model.init)(jax.random.key(0), jnp.asarray(img[:1]))
+    tx = nesterov_sgd(poly_epoch_schedule(1e-3, 200, 100))
+
+    def build(mode):
+        return make_seg_train_step(model, tx, enable_uncertainty=True,
+                                   enable_distillation=False, donate=True,
+                                   packed=True, remat=mode, precision="bf16")
+
+    mode, _why = select_remat_mode(build, TrainState.create(params, tx),
+                                   None, batch)
+    step = build(mode)
+    raw_flops = 0.0
+    try:
+        raw_flops = float(step.lower(TrainState.create(params, tx), None,
+                                     batch).compile()
+                          .cost_analysis().get("flops", 0.0))
+    except Exception:
+        pass
+    state = TrainState.create(params, tx)
+    state, m = step(state, None, batch)
+    jax.block_until_ready(m["loss"])
+    best = float("inf")
+    for _ in range(4):
+        t0 = time.perf_counter()
+        state, m = step(state, None, batch)
+        jax.block_until_ready(m["loss"])
+        best = min(best, time.perf_counter() - t0)
+    out = {"stage2_train_ms_per_step": round(best * 1e3, 1),
+           "stage2_train_remat": {False: "none", "hires": "hires",
+                                  True: "all"}[mode]}
+    if raw_flops > 0:
+        out["stage2_train_raw_tflops"] = round(raw_flops / best / 1e12, 1)
+        if peak:
+            out["stage2_train_raw_mfu_vs_chip_peak"] = round(
+                raw_flops / best / 1e12 / peak, 3)
+    return out
+
+
 def bench_flavr_sr(peak: float) -> dict:
     """Stage-1 FLAVR volume SR throughput (HR voxels/sec/chip) at reference
     geometry: LR volume (455, 633, 20) in-plane x thin-z, x4 through-plane
@@ -594,6 +655,10 @@ def main():
     except Exception as e:
         dual, t_dual, t_dual_dev = {"dual_error": f"{type(e).__name__}"}, \
             None, None
+    try:
+        train = bench_train_step(peak)
+    except Exception as e:
+        train = {"stage2_train_error": f"{type(e).__name__}"}
     composite = {}
     if t_sr is not None and t_dual is not None:
         hr_voxels = VOLUME[0] * 4 * VOLUME[1] * VOLUME[2]
@@ -619,6 +684,7 @@ def main():
         **al_extra,
         **sr,
         **dual,
+        **train,
         **composite,
     }))
 
