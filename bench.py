@@ -206,9 +206,9 @@ def bench_train_step(peak: float) -> dict:
         state, m = step(state, None, batch)
         jax.block_until_ready(m["loss"])
         best = min(best, time.perf_counter() - t0)
+    from rehrseg_tpu.train.seg_trainer import REMAT_NAMES
     out = {"stage2_train_ms_per_step": round(best * 1e3, 1),
-           "stage2_train_remat": {False: "none", "hires": "hires",
-                                  True: "all"}[mode]}
+           "stage2_train_remat": REMAT_NAMES[mode]}
     if raw_flops > 0:
         out["stage2_train_raw_tflops"] = round(raw_flops / best / 1e12, 1)
         if peak:

@@ -24,7 +24,11 @@ from rehrseg_tpu.ops.pack2d import conv_packed, pack_conv_weights, pack_bias
 B, D = 8, 16
 
 
-def probe(hp, wp, tag):
+def probe(hp, wp, tag, true_hw=None):
+    """true_hw: the unpadded (hp0, wp0) — pad columns carry no data, so
+    per-useful-pixel cost must normalize by the TRUE area, not the padded
+    shape (normalizing by the padded area overstated the padded variants
+    by up to ~4% in the first run of this probe)."""
     x = jax.random.normal(jax.random.key(0), (B, D, hp, wp, 128),
                           jnp.bfloat16)
     w = jax.random.normal(jax.random.key(1), (1, 3, 3, 32, 32),
@@ -41,13 +45,14 @@ def probe(hp, wp, tag):
         v = f(x)
         jax.block_until_ready(v)
         best = min(best, time.perf_counter() - t0)
-    area = (hp - 1) * (wp - 1)
+    h0, w0 = true_hw or (hp, wp)
+    area = (h0 - 1) * (w0 - 1)
     print(f"{tag}: ({hp},{wp}) {best * 1e3:7.2f} ms  "
           f"({best * 1e12 / area / (B * D):.1f} ps/useful-px)", flush=True)
 
 
 if __name__ == "__main__":
     probe(161, 193, "offset odd      ")
-    probe(161, 200, "w pad to 200    ")
-    probe(168, 200, "hw pad 168,200  ")
+    probe(161, 200, "w pad to 200    ", true_hw=(161, 193))
+    probe(168, 200, "hw pad 168,200  ", true_hw=(161, 193))
     probe(160, 192, "even 160,192    ")

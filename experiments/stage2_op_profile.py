@@ -63,7 +63,7 @@ def build_step(remat):
     return step, state, batch
 
 
-def top_ops_from_trace(trace_dir, n_steps=3):
+def top_ops_from_trace(trace_dir):
     """Parse the newest xplane.pb under trace_dir and aggregate per-op
     device self-time + metadata from the TPU plane's 'XLA Ops' line.
     Returns [(total_ps, name, meta_dict)] sorted desc."""
@@ -120,9 +120,10 @@ def main():
         state, m = step(state, None, batch)
     jax.block_until_ready(m["loss"])
 
+    n_steps = 3  # single source for the capture loop AND the divisor
     os.makedirs(TRACE_DIR, exist_ok=True)
     jax.profiler.start_trace(TRACE_DIR)
-    for _ in range(3):
+    for _ in range(n_steps):
         state, m = step(state, None, batch)
     jax.block_until_ready(m["loss"])
     jax.profiler.stop_trace()
@@ -131,7 +132,6 @@ def main():
     if not rows:
         return
     total = sum(ps for ps, _, _ in rows)
-    n_steps = 3
     print(f"device op time {total / 1e9:.1f} ms over {n_steps} steps; top 30:")
     for ps, name, md in rows[:30]:
         src = str(md.get("source", "")).split("/")[-1]

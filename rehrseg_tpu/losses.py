@@ -67,14 +67,16 @@ def robust_cross_entropy(logits, target, uncertainty=None):
         target = target[..., 0]
     labels = target.astype(jnp.int32)
     logp = jax.nn.log_softmax(logits, axis=-1)
-    # Select the label-class log-prob as a one-hot multiply-sum rather than
+    # Select the label-class log-prob as a masked select-sum rather than
     # take_along_axis: XLA lowers that gather (and its scatter transpose in
     # the backward) to a ~1.7 GB/s serial loop on TPU — it alone was 42% of
     # the stage-2 train step (docs/BENCHMARKS.md round-4 op profile). The
-    # one-hot form fuses to elementwise ops at HBM bandwidth both ways and
-    # is value-identical for finite logits (x + 0.0*y == x).
-    onehot = jax.nn.one_hot(labels, logp.shape[-1], dtype=logp.dtype)
-    nll = -jnp.sum(logp * onehot, axis=-1)
+    # where-form fuses to elementwise ops at HBM bandwidth both ways and
+    # keeps exact gather semantics even for non-finite logits (a one-hot
+    # MULTIPLY would turn any -inf log-prob into NaN via 0 * -inf).
+    classes = jnp.arange(logp.shape[-1], dtype=labels.dtype)
+    mask = labels[..., None] == classes
+    nll = -jnp.sum(jnp.where(mask, logp, jnp.zeros_like(logp)), axis=-1)
     if uncertainty is not None:
         if uncertainty.ndim == nll.ndim + 1:
             uncertainty = uncertainty[..., 0]

@@ -981,17 +981,16 @@ class Pipeline:
                                    jnp.asarray(b["label_hr"]),
                                    jnp.asarray(b["uncertainty_lr"]))
               if step_fn is None:
-                  from .train.seg_trainer import select_remat_mode
-                  codes = {0: False, 1: "hires", 2: True}
+                  from .train.seg_trainer import (select_remat_mode,
+                                                  REMAT_WIRE, REMAT_UNWIRE)
                   if self._mh.is_primary():
                       mode, why = select_remat_mode(
                           make_step, state, flavr_params, batch)
                       print(f"remat auto-select: {mode!r} ({why})")
                   else:
-                      mode, why = True, "non-primary"
-                  code = self._mh.broadcast_scalar(
-                      float({False: 0, "hires": 1, True: 2}[mode]))
-                  step_fn = make_step(codes[int(code)])
+                      mode = True  # overwritten by the broadcast below
+                  code = self._mh.broadcast_scalar(float(REMAT_WIRE[mode]))
+                  step_fn = make_step(REMAT_UNWIRE[int(code)])
               state, metrics = step_fn(state, flavr_params, batch)
               timer.stop()
               if (it + 1) % 100 == 0 or it + 1 == total_steps:

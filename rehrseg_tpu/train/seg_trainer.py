@@ -248,6 +248,14 @@ def make_seg_train_step(seg_model, tx: optax.GradientTransformation,
     return jax.jit(step, donate_argnums=donate_argnums)
 
 
+# canonical remat-mode encodings: wire codes for the pod broadcast
+# (pipeline auto-select) and display names (bench.py / logs) — keep the
+# three consumers on ONE mapping
+REMAT_WIRE = {False: 0, "hires": 1, True: 2}
+REMAT_UNWIRE = {v: k for k, v in REMAT_WIRE.items()}
+REMAT_NAMES = {False: "none", "hires": "hires", True: "all"}
+
+
 def select_remat_mode(build_step, state, flavr_params, batch, *,
                       bytes_limit: int | None = None,
                       margin_bytes: int = 1 << 30,
@@ -269,6 +277,15 @@ def select_remat_mode(build_step, state, flavr_params, batch, *,
     build_step: mode -> jitted step(state, flavr_params, batch); the
     concrete pytrees are only lowered/compiled, never executed, so
     donation does not consume them. Returns (mode, reason).
+
+    Notes: the chosen mode's executable is intentionally discarded — the
+    caller's fresh jit re-lowers but hits the persistent compilation
+    cache (~seconds), and calling the AOT executable directly would pin
+    exact arg shardings/placements for the whole training loop (fragile
+    against fresh host batches). On a pod, only the primary should run
+    this (compiles take minutes); peers wait in the decision broadcast —
+    if the primary process hard-crashes mid-probe the pod hangs in that
+    collective, the same failure semantics as any lost pod member.
     """
     if bytes_limit is None:
         dev = jax.local_devices()[0]
@@ -280,11 +297,20 @@ def select_remat_mode(build_step, state, flavr_params, batch, *,
         if not bytes_limit and dev.platform == "tpu":
             # some TPU attachments (e.g. the tunneled axon backend) return
             # no memory_stats; fall back to the generation's HBM capacity
-            # (conservative published figures per chip)
-            kinds = {"v5 lite": 16, "v5e": 16, "v4": 32, "v5p": 95,
-                     "v6 lite": 32, "v6e": 32, "v3": 16, "v2": 8}
-            kind = dev.device_kind.lower().replace("tpu", "").strip()
-            gib = next((v for k, v in kinds.items() if k in kind), None)
+            # (conservative published figures per chip). Token-exact match
+            # on the version word — substring matching would hand e.g. a
+            # v4i (8 GiB) the v4 budget (32 GiB) and select a step that
+            # OOMs at runtime.
+            kinds = {"v2": 8, "v3": 16, "v4": 32, "v4i": 8,
+                     "v5e": 16, "v5p": 95, "v6e": 32,
+                     ("v5", "lite"): 16, ("v6", "lite"): 32}
+            toks = dev.device_kind.lower().replace("tpu", "").split()
+            gib = None
+            for k, v in kinds.items():
+                if (toks == list(k) if isinstance(k, tuple)
+                        else toks == [k]):
+                    gib = v
+                    break
             if gib:
                 bytes_limit = gib << 30
     if not bytes_limit:
