@@ -150,3 +150,28 @@ def test_psnr():
     noisy = x + 0.01
     # MSE = 1e-4, range 1 → PSNR = 40 dB
     assert calculate_psnr(noisy, x, data_range=1.0) == pytest.approx(40.0, abs=0.1)
+
+
+def test_robust_ce_matches_gather_semantics(rng):
+    """The fast masked select-sum CE (losses.py — the TPU gather
+    replacement) must match take_along_axis semantics exactly, INCLUDING
+    non-finite logits: a -inf log-prob on a class the label does not
+    select must not poison the loss (0 * -inf = NaN under the naive
+    one-hot multiply form)."""
+    from rehrseg_tpu.losses import robust_cross_entropy
+
+    logits = rng.normal(size=(2, 4, 4, 3)).astype(np.float32)
+    target = rng.integers(0, 3, size=(2, 4, 4, 1)).astype(np.float32)
+    got = robust_cross_entropy(jnp.asarray(logits), jnp.asarray(target))
+    logp = jax.nn.log_softmax(jnp.asarray(logits), axis=-1)
+    ref = -jnp.take_along_axis(
+        logp, jnp.asarray(target).astype(jnp.int32), axis=-1)[..., 0]
+    np.testing.assert_allclose(float(got), float(jnp.mean(ref)), rtol=1e-6)
+
+    # saturate one non-selected class to -inf-producing logits: the label
+    # never picks class 2, so the loss must stay finite (gather parity)
+    logits2 = logits.copy()
+    logits2[..., 2] = -1e30          # log_softmax -> -inf for class 2
+    target2 = np.minimum(target, 1.0)
+    got2 = robust_cross_entropy(jnp.asarray(logits2), jnp.asarray(target2))
+    assert np.isfinite(float(got2))
