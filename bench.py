@@ -443,8 +443,12 @@ def main():
     target_shape = [max(s, p) for s, p in zip(vol.shape[:3], PATCH)] + [1]
     vol_p, _ = target_pad(vol, target_shape, mode="constant")
 
-    # distinct volume buffers so per-volume uploads are real
-    vols = [vol_p, vol_p.copy(), vol_p.copy(), vol_p.copy()]
+    # distinct volume buffers so per-volume uploads are real. 8 volumes per
+    # trial so the measured rate is STEADY-STATE throughput: the first
+    # volume's upload (~0.65 s on the tunnel) cannot overlap anything, and
+    # amortizing that pipeline-fill over 4 volumes understated the
+    # sustained rate by ~6-10% (docs/BENCHMARKS.md engine-tail section)
+    vols = [vol_p] + [vol_p.copy() for _ in range(7)]
 
     def run(volumes):
         # device-side argmax: output is the segmentation label map, matching
@@ -481,7 +485,14 @@ def main():
 
     extra = {"trials_voxps": [round(voxels / t, 1) for t in times],
              "value_median": round(voxels / dt_median, 1),
-             "trial_peaks_tflops": [round(p, 1) for p in trial_peaks]}
+             "trial_peaks_tflops": [round(p, 1) for p in trial_peaks],
+             "n_volumes_per_trial": len(vols),
+             # the r4 chained-matmul probe measures ~125-137 TF/s where the
+             # r2/r3 bare-matmul probe read ~88 — every *_mfu_vs_chip_peak
+             # is now against the HIGHER (corrected) ceiling, so r4 MFU
+             # values are NOT comparable to r2/r3 captures (docs/
+             # BENCHMARKS.md "Chip-peak probe correction")
+             "peak_probe": "chained-matmul-r4"}
     # RAW FLOPs of the packed forward actually executed (parity FLOPs x the
     # space-to-depth packing inflation): raw MFU is the "how close to the
     # hardware are we" signal; parity MFU is the "how much useful math per
@@ -577,6 +588,8 @@ def main():
         al_times = [t / len(vols) for t in al_times]
         dt_al, peak_al, _ = _best(al_times, al_peaks)
         al_extra["aligned_voxps"] = round(voxels / dt_al, 1)
+        al_extra["aligned_trials_voxps"] = [round(voxels / t, 1)
+                                            for t in al_times]
         if flops_fwd > 0 and peak_al:
             al_extra["aligned_mfu_vs_chip_peak"] = round(
                 flops_fwd * n_tiles / dt_al / 1e12 / peak_al, 3)
