@@ -200,12 +200,19 @@ def bench_train_step(peak: float) -> dict:
     state = TrainState.create(params, tx)
     state, m = step(state, None, batch)
     jax.block_until_ready(m["loss"])
+    # pipelined discipline: dispatch a chain of steps (donated state threads
+    # them), ONE scalar fetch at the end — how the production loop runs (it
+    # never syncs per step). A per-step sync pays a tunnel round-trip each
+    # step on this host and overstated the step ~10% (236 vs 213 ms;
+    # experiments/stage2_bytes_floor.py measures both disciplines).
+    n_chain = 8
     best = float("inf")
-    for _ in range(4):
+    for _ in range(2):
         t0 = time.perf_counter()
-        state, m = step(state, None, batch)
-        jax.block_until_ready(m["loss"])
-        best = min(best, time.perf_counter() - t0)
+        for _ in range(n_chain):
+            state, m = step(state, None, batch)
+        float(m["loss"])
+        best = min(best, (time.perf_counter() - t0) / n_chain)
     from rehrseg_tpu.train.seg_trainer import REMAT_NAMES
     out = {"stage2_train_ms_per_step": round(best * 1e3, 1),
            "stage2_train_remat": REMAT_NAMES[mode]}

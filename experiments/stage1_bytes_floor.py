@@ -65,14 +65,28 @@ def main():
             float(m["loss"])
             ts.append(time.perf_counter() - t0)
         dt = min(ts)
-        line = f"{precision}: {dt*1e3:6.1f} ms/step"
+        # pipelined: dispatch a chain of steps, ONE scalar fetch at the end
+        # — how production training runs (no per-step fetch). The profiler
+        # (stage1_op_profile.py) measured 74.2 ms/step of device op time vs
+        # the 106.7 ms per-step-fetch wall number: each fetch pays a tunnel
+        # round-trip that a real training loop never pays.
+        n_chain = 8
+        best_pipe = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for _ in range(n_chain):
+                state, m = step(state, lr, hr)
+            float(m["loss"])
+            best_pipe = min(best_pipe, (time.perf_counter() - t0) / n_chain)
+        line = (f"{precision}: {dt*1e3:6.1f} ms/step (per-step fetch) "
+                f"| {best_pipe*1e3:6.1f} ms/step pipelined")
         if byts:
             floor = byts / (bw * 1e9)
             line += (f"  bytes={byts/2**30:.2f} GiB  "
                      f"BW-floor={floor*1e3:.1f} ms  "
-                     f"measured/floor={dt/floor:.2f}")
+                     f"pipelined/floor={best_pipe/floor:.2f}")
         if flops:
-            line += f"  ({flops/dt/1e12:.1f} TF/s)"
+            line += f"  ({flops/best_pipe/1e12:.1f} TF/s pipelined)"
         print(line, flush=True)
 
 

@@ -115,14 +115,27 @@ def main():
             float(m["loss"])
             ts.append(time.perf_counter() - t0)
         dt = min(ts)
-        line = f"remat={remat!r:5}: {dt*1e3:6.1f} ms/step"
+        # pipelined: dispatch a chain of steps (donated state threads them),
+        # ONE scalar fetch at the end — how production training runs (the
+        # loop never fetches per step). The per-step-fetch number above pays
+        # a tunnel round-trip every step on this host.
+        n_chain = 8
+        best_pipe = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for _ in range(n_chain):
+                state, m = step(state, None, batch)
+            float(m["loss"])
+            best_pipe = min(best_pipe, (time.perf_counter() - t0) / n_chain)
+        line = (f"remat={remat!r:5}: {dt*1e3:6.1f} ms/step (per-step fetch) "
+                f"| {best_pipe*1e3:6.1f} ms/step pipelined")
         if byts:
             floor = byts / (bw * 1e9)
             line += (f"  bytes={byts/2**30:.2f} GiB  "
                      f"BW-floor={floor*1e3:.1f} ms  "
-                     f"measured/floor={dt/floor:.2f}")
+                     f"pipelined/floor={best_pipe/floor:.2f}")
         if flops:
-            line += f"  ({flops/dt/1e12:.1f} TF/s)"
+            line += f"  ({flops/best_pipe/1e12:.1f} TF/s pipelined)"
         print(line, flush=True)
 
 
