@@ -175,6 +175,10 @@ def sr_uncertainty_loss(pred, uncertainty, target, alpha: float = 1.0,
     loss += jnp.mean(jnp.abs(err) / uncertainty + jnp.log(uncertainty))
     error_map = jax.lax.stop_gradient(jnp.abs(err))
     loss += l1_loss(uncertainty, error_map)
+    if pred.shape[-1] == 1:
+        # sr_mode='img' single-channel SR: no label channel to supervise
+        # (an empty [..., 1:] slice would mean a NaN from a zero-size mean)
+        return loss
     loss += bce_dice_loss(pred[..., 1:], target[..., 1:], alpha, beta)
     return loss
 

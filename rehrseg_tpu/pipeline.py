@@ -626,9 +626,14 @@ class Pipeline:
         for subject in sorted(os.listdir(self.merge_data_path)):
             base = os.path.join(self.flavr_output_path, subject)
             img_file = base.replace(".nii.gz", "_img.nii.gz")
+            seg_file = base.replace(".nii.gz", "_seg.nii.gz")
             unc_file = base.replace(".nii.gz", "_uncertainty.nii.gz")
+            # skip-if-exists must key on ALL artifacts of this pass: img is
+            # written before seg, so a crash between the two writes would
+            # otherwise skip the subject forever with seg missing
             if (os.path.exists(unc_file) if uncertainty
-                    else os.path.exists(img_file)):
+                    else (os.path.exists(img_file)
+                          and os.path.exists(seg_file))):
                 continue
             image, _, _, _, _, _, orig_min, orig_max = parse_image(
                 os.path.join(self.merge_data_path, subject),
@@ -747,7 +752,7 @@ class Pipeline:
                 base.replace(".nii.gz", "_seg.nii.gz"), c.slice_separation, 1.0)
             unc_file = base.replace(".nii.gz", "_uncertainty.nii.gz")
             if os.path.exists(unc_file):
-                unc, *_ = parse_image(unc_file, 4.0, 1.0)
+                unc, *_ = parse_image(unc_file, c.slice_separation, 1.0)
                 unc = zeroonenorm255(unc).astype(np.uint8)
             else:
                 unc = np.zeros_like(label)
@@ -944,20 +949,29 @@ class Pipeline:
                 flavr_params = self._mh.replicate_any(
                     flavr_params, self.seg_mesh)
             aug_key = self._mh.globalize_key(aug_key, self.seg_mesh)
-        best_dice = 0.0
         mlog = MetricsLogger(self.segsr_ckpt)
+        # resume keeps the best-by-val-dice watermark: metrics.jsonl
+        # persists every eval, so a restarted run must not let its first
+        # (likely worse) eval clobber the 'best' checkpoint tag
+        best_dice = (mlog.max_on_disk("val_dice")
+                     if self._mh.is_primary() else 0.0)
+        best_dice = self._mh.broadcast_scalar(best_dice)
         timer = StepTimer()
         profile_dir = (c.extra or {}).get("profile_dir")
         print(f"TRAINING NETWORK REHRSeg ({total_steps} steps)")
         guard = PreemptionGuard()
+        start_it = int(state.step)  # snapshot: state.step advances per step
+        prof_on = False
         try:
           with guard:
-            for it in range(int(state.step), total_steps):
-              if profile_dir and it == int(state.step) + 5:
+            for it in range(start_it, total_steps):
+              if profile_dir and it == start_it + 5:
                   # steady-state capture: past compile + warmup
                   jax.profiler.start_trace(profile_dir)
-              if profile_dir and it == int(state.step) + 10:
+                  prof_on = True
+              if prof_on and it == start_it + 10:
                   jax.profiler.stop_trace()
+                  prof_on = False
               stop = guard.should_stop
               if self.dp_mesh is not None:
                   stop = (self._mh.any_flag(stop) if it % 10 == 0 else False)
@@ -1039,6 +1053,8 @@ class Pipeline:
                 ckpt.save_checkpoint(self.segsr_ckpt, state)
                 raise TrainingPreempted(int(state.step))
         finally:
+            if prof_on:  # loop ended (or raised) inside the trace window
+                jax.profiler.stop_trace()
             # close on ANY exit (step_fn/evaluate/checkpoint errors included)
             # so the prefetch worker thread never leaks
             loader.close()
@@ -1141,11 +1157,17 @@ class Pipeline:
             states.append(st)
 
         stacked = place_fold_state(stack_fold_states(states), mesh)
-        fparams_k = jax.tree.map(
-            lambda x: jnp.broadcast_to(jnp.asarray(x)[None],
-                                       (K,) + jnp.asarray(x).shape),
-            flavr_params)
-        fparams_k = place_fold_batch(fparams_k, mesh)
+        if c.enable_distillation:
+            fparams_k = jax.tree.map(
+                lambda x: jnp.broadcast_to(jnp.asarray(x)[None],
+                                           (K,) + jnp.asarray(x).shape),
+                flavr_params)
+            fparams_k = place_fold_batch(fparams_k, mesh)
+        else:
+            # the step only reads the teacher under distillation; skip
+            # materializing K FLAVR copies in HBM (None passes through
+            # shard_map as an empty pytree)
+            fparams_k = None
 
         base_step = make_seg_train_step(
             seg, tx, enable_uncertainty=c.enable_uncertainty,
@@ -1183,7 +1205,9 @@ class Pipeline:
                   "resuming from max")
         start = max(fold_steps)
         mlog = MetricsLogger(self.segsr_ckpt + "_folds")
-        best = [0.0] * K
+        # resume keeps each fold's best-by-val-dice watermark (see the
+        # single-fold loop for the rationale)
+        best = [mlog.max_on_disk(f"val_dice_fold{k}") for k in range(K)]
 
         def save_all(tag=None):
             for k, st in enumerate(unstack_fold_state(stacked, K)):

@@ -35,6 +35,25 @@ class MetricsLogger:
             f.write(json.dumps(rec) + "\n")
         return rec
 
+    def max_on_disk(self, key: str, default: float = 0.0) -> float:
+        """Max of `key` over every record already in the jsonl FILE (not
+        just this process's history) — lets a resumed run recover
+        watermarks like best-val-dice instead of resetting them."""
+        best = default
+        try:
+            with open(self.path) as f:
+                for line in f:
+                    try:
+                        rec = json.loads(line)
+                    except json.JSONDecodeError:
+                        continue  # torn final line from a killed run
+                    v = rec.get(key)
+                    if isinstance(v, (int, float)) and v > best:
+                        best = float(v)
+        except OSError:
+            pass
+        return best
+
     def last(self, key: str):
         for rec in reversed(self.history):
             if key in rec:

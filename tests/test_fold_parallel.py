@@ -46,3 +46,31 @@ def test_fold_parallel_wdsr(rng):
     folds = unstack_fold_state(stacked, K)
     assert len(folds) == K
     assert int(np.asarray(folds[0].step)) == 1
+
+
+def test_fold_parallel_none_teacher(rng):
+    """enable_distillation=False passes flavr_params=None through the
+    fold shard_map (None is an empty pytree; the per-fold step must see
+    it unchanged)."""
+    K = 4
+    mesh = make_fold_mesh(K)
+    model = WDSR(out_channel=2, n_resblocks=1, num_channels=8, scale=4.0)
+    x0 = jnp.zeros((1, 8, 16, 2))
+    tx, _ = onecycle_adam(1e-3, 10)
+    states = [TrainState.create(model.init(jax.random.key(k), x0), tx)
+              for k in range(K)]
+    stacked = place_fold_state(stack_fold_states(states), mesh)
+    base = make_sr_train_step(model, tx, enable_uncertainty=False,
+                              slice_separation=4, num_slices=1, donate=False)
+
+    def step(state, teacher, lr, hr):
+        assert teacher is None  # trace-time: None must thread through
+        return base(state, lr, hr)
+
+    pstep = make_fold_parallel_step(step, mesh)
+    lr = rng.normal(size=(K, 2, 8, 16, 2)).astype(np.float32)
+    hr = rng.normal(size=(K, 2, 32, 16, 2)).astype(np.float32)
+    batch = place_fold_batch((lr, hr), mesh)
+    with mesh:
+        stacked, metrics = pstep(stacked, None, *batch)
+    assert np.isfinite(np.asarray(metrics["loss"])).all()

@@ -175,3 +175,17 @@ def test_robust_ce_matches_gather_semantics(rng):
     target2 = np.minimum(target, 1.0)
     got2 = robust_cross_entropy(jnp.asarray(logits2), jnp.asarray(target2))
     assert np.isfinite(float(got2))
+
+
+def test_sr_uncertainty_loss_single_channel(rng):
+    """sr_mode='img' (1-channel SR) + UASR head: no label channel means no
+    BCEDice term — an empty [..., 1:] slice would NaN the whole loss."""
+    pred = jnp.asarray(rng.normal(size=(1, 4, 8, 8, 1)).astype(np.float32))
+    target = jnp.asarray(rng.normal(size=(1, 4, 8, 8, 1)).astype(np.float32))
+    unc = jnp.asarray(
+        rng.uniform(0.2, 0.9, size=(1, 4, 8, 8, 1)).astype(np.float32))
+    val, grads = jax.value_and_grad(
+        lambda p, u: sr_uncertainty_loss(p, u, target), argnums=(0, 1))(
+            pred, unc)
+    assert np.isfinite(float(val))
+    assert all(np.isfinite(np.asarray(g)).all() for g in grads)

@@ -50,3 +50,20 @@ def test_metrics_logger(tmp_path):
     assert lines[0]["loss"] == 1.5
     assert lines[1]["loss"] == pytest.approx(1.2)
     assert log.last("dice") == 0.8
+
+
+def test_metrics_max_on_disk(tmp_path):
+    """Resume watermark recovery: max over the FILE (cross-run), tolerant
+    of a torn final line from a killed writer."""
+    from rehrseg_tpu.utils.metrics import MetricsLogger
+    log = MetricsLogger(str(tmp_path))
+    log.log(100, val_dice=0.61)
+    log.log(200, val_dice=0.85, loss=1.0)
+    log.log(300, val_dice=0.72)
+    with open(log.path, "a") as f:
+        f.write('{"step": 400, "val_dice": 0.9')  # torn: process killed
+    fresh = MetricsLogger(str(tmp_path))  # a new run's logger
+    assert fresh.max_on_disk("val_dice") == pytest.approx(0.85)
+    assert fresh.max_on_disk("absent_key") == 0.0
+    empty = MetricsLogger(str(tmp_path / "elsewhere"))
+    assert empty.max_on_disk("val_dice", default=-1.0) == -1.0
