@@ -62,10 +62,17 @@ class SRPatchDataset:
         self.image_path = image_path
         self.rng = np.random.default_rng(seed)
 
-        all_names = os.listdir(image_path)
+        # anchored, sorted matching: the reference constructs exact
+        # filenames (train_set.py:50 `each_subject+'_0000.h5'`), so a bare
+        # substring match here could pick case_10 for subject case_1 (and
+        # nondeterministically, via unsorted listdir) — including leaking a
+        # val subject into training
+        all_names = sorted(os.listdir(image_path))
         self.subjects = []
         for s in split_subjects:
-            matches = [x for x in all_names if s in x]
+            anchored = [x for x in all_names
+                        if x.startswith(s + "_") or x.startswith(s + ".")]
+            matches = anchored or [x for x in all_names if s in x]
             if matches:
                 self.subjects.append(matches[0])
 
@@ -153,7 +160,7 @@ class SRPatchDataset:
         lab = lab.transpose(2, 3, 0, 1)
 
         target_shape = [max(s, p) for s, p in
-                        zip(img.shape, (ps[2], 1, ps[0], ps[0]))]
+                        zip(img.shape, (ps[2], 1, ps[0], ps[1]))]
         img, _ = target_pad(img, target_shape, mode="constant")
         lab, _ = target_pad(lab, target_shape, mode="constant")
 

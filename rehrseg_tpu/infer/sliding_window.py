@@ -651,8 +651,7 @@ def predict_sliding_window_labels_aligned(model_fn: Callable, params,
     logits = _sliding_window_scan_aligned(
         model_fn, params, dev, starts, g, patch_size, shape, 1,
         int(num_classes), interp)
-    lab = np.asarray(jax.jit(lambda l: jnp.argmax(l, 0).astype(jnp.uint8))(
-        logits))
+    lab = np.asarray(_argmax0_uint8(logits))
     return lab[:d0, :h0, :w0]
 
 

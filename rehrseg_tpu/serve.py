@@ -57,7 +57,8 @@ class Segmenter:
     # streaming with that many tile-rows per slab (for volumes whose
     # accumulators exceed HBM; exact same result, LR and HR paths both)
     streaming: int | None = None
-    compute_dtype = jnp.bfloat16
+    num_classes: int = 2
+    compute_dtype: object = jnp.bfloat16
 
     def __post_init__(self):
         if self.mesh is not None and self.streaming:
@@ -133,13 +134,15 @@ class Segmenter:
                     self._dual_fn_planes, self.params, vol_p,
                     self.patch_size,
                     slice_separation=self.slice_separation,
-                    tile_step_size=self.tile_step_size)
+                    tile_step_size=self.tile_step_size,
+                    num_classes=self.num_classes)
                 sep = self.slice_separation
                 hr_pads = ((pads[0][0] * sep, pads[0][1] * sep),) + pads[1:3]
                 return crop(lr_full, pads[:3]), crop(hr_full, hr_pads)
             pred = predict_sliding_window_labels_aligned(
                 self._lr_fn_planes, self.params, vol_p, self.patch_size,
-                tile_step_size=self.tile_step_size)
+                tile_step_size=self.tile_step_size,
+                num_classes=self.num_classes)
             return crop(pred, pads[:3])
         if hr:
             if self.streaming:
@@ -147,12 +150,14 @@ class Segmenter:
                     self._dual_fn, self.params, vol_p, self.patch_size,
                     slice_separation=self.slice_separation,
                     z_slab_tiles=int(self.streaming),
-                    tile_step_size=self.tile_step_size, mirror=self.mirror)
+                    tile_step_size=self.tile_step_size, mirror=self.mirror,
+                    num_classes=self.num_classes)
             else:
                 lr_full, hr_full = predict_sliding_window_dual_labels(
                     self._dual_fn, self.params, vol_p, self.patch_size,
                     slice_separation=self.slice_separation,
-                    tile_step_size=self.tile_step_size, mirror=self.mirror)
+                    tile_step_size=self.tile_step_size, mirror=self.mirror,
+                    num_classes=self.num_classes)
             sep = self.slice_separation
             hr_pads = ((pads[0][0] * sep, pads[0][1] * sep),) + pads[1:3]
             return crop(lr_full, pads[:3]), crop(hr_full, hr_pads)
@@ -160,19 +165,25 @@ class Segmenter:
             pred = predict_sliding_window_labels_streamed(
                 self._lr_fn, self.params, vol_p, self.patch_size,
                 z_slab_tiles=int(self.streaming),
-                tile_step_size=self.tile_step_size, mirror=self.mirror)
+                tile_step_size=self.tile_step_size, mirror=self.mirror,
+                num_classes=self.num_classes)
         else:
             pred = predict_sliding_window_labels(
                 self._lr_fn, self.params, vol_p, self.patch_size,
                 slice_separation=1, tile_step_size=self.tile_step_size,
-                mirror=self.mirror, tta_mesh=self.mesh)
+                mirror=self.mirror, num_classes=self.num_classes,
+                tta_mesh=self.mesh)
         return crop(pred, pads[:3])
 
     def segment_many(self, volumes_zyx):
         """Pipelined batch segmentation: all scans dispatch before any label
         map downloads, hiding tunnel transfers under device compute.
         Honors tile_grid='aligned' (the batch path serves the same engine
-        as segment() — they must not diverge)."""
+        as segment() — they must not diverge). Streaming/mesh configs fall
+        back to sequential segment() calls: those engines manage their own
+        device memory/collectives and must not be whole-volume-batched."""
+        if self.streaming or self.mesh is not None:
+            return [self.segment(v) for v in volumes_zyx]
         prepped = [self._prep(v) for v in volumes_zyx]
         if self.tile_grid == "aligned":
             from .infer.sliding_window import (
@@ -180,14 +191,15 @@ class Segmenter:
             preds = predict_sliding_window_labels_aligned_many(
                 self._lr_fn_planes, self.params,
                 [vol_p for vol_p, _ in prepped], self.patch_size,
-                tile_step_size=self.tile_step_size)
+                tile_step_size=self.tile_step_size,
+                num_classes=self.num_classes)
             return [crop(p, pads[:3])
                     for p, (_, pads) in zip(preds, prepped)]
         pending = []
         for vol_p, _ in prepped:
             logits, _ = _run_sliding_window(
                 self._lr_fn, self.params, vol_p, self.patch_size, 1,
-                self.tile_step_size, True, self.mirror, 2,
+                self.tile_step_size, True, self.mirror, self.num_classes,
                 need_weights=False)
             pending.append(_argmax_uint8(logits))
         return [crop(np.asarray(p), pads[:3])
@@ -238,7 +250,8 @@ def load_segmenter_from_checkpoint(ckpt_dir: str, arch: dict, patch_size,
     if isinstance(p, dict) and "seg" in p:
         p = p["seg"]
     return Segmenter(model=model, params=p, patch_size=tuple(patch_size),
-                     slice_separation=slice_separation, **kw)
+                     slice_separation=slice_separation,
+                     num_classes=num_classes, **kw)
 
 
 @dataclass
@@ -392,8 +405,16 @@ def main():
         os.makedirs(args.out_dir, exist_ok=True)
         for path in args.inputs:
             base = os.path.basename(path).replace(".nii.gz", "_seg.nii.gz")
-            seg.segment_file(path, os.path.join(args.out_dir, base))
-            print(f"{path} -> {os.path.join(args.out_dir, base)}")
+            hr_out = None
+            if args.hr:
+                # --hr with --out-dir: treat the flag as "also write HR",
+                # one per input (a single --hr PATH can't name N outputs)
+                hr_out = os.path.join(args.out_dir, base.replace(
+                    "_seg.nii.gz", "_hr_seg.nii.gz"))
+            seg.segment_file(path, os.path.join(args.out_dir, base),
+                             hr_out_path=hr_out)
+            print(f"{path} -> {os.path.join(args.out_dir, base)}"
+                  + (f" + {hr_out}" if hr_out else ""))
     else:
         assert len(args.inputs) == 1 and args.out, \
             "single input needs --out (or use --out-dir)"

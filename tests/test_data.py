@@ -294,3 +294,16 @@ def test_multiprocess_loader_dead_worker_raises(tmp_path, rng):
             mp.next()
     finally:
         mp.close()
+
+
+def test_sr_dataset_anchored_subject_matching(tmp_path, rng):
+    """Subject 'case_1' must resolve to case_1_0000.nii.gz, never case_10
+    (the reference constructs exact filenames, train_set.py:181; a bare
+    substring match over unsorted listdir could leak the wrong subject)."""
+    _make_subject_nifti(str(tmp_path / "case_10_0000.nii.gz"), rng)
+    _make_subject_nifti(str(tmp_path / "case_1_0000.nii.gz"), rng)
+    _make_subject_nifti(str(tmp_path / "case_11_0000.nii.gz"), rng)
+    ds = SRPatchDataset(str(tmp_path), ["case_1"], 4.0, 1.0, None,
+                        "rf-pulse-slr", (16, 16), random_flip=False,
+                        blur=False, nnunet_transform=False, preload=False)
+    assert ds.subjects == ["case_1_0000.nii.gz"]

@@ -247,3 +247,53 @@ def test_segment_many_aligned_matches_single(rng):
     many = seg.segment_many(vols)
     for v, m in zip(vols, many):
         np.testing.assert_array_equal(m, seg.segment(v))
+
+
+def test_segmenter_num_classes_3(rng):
+    """num_classes threads from the loader/constructor into every engine
+    accumulator (it was hardcoded to 2: a 3-class model shape-errored)."""
+    model = SegModel(num_classes=3, upscale=4, arch=SMALL_ARCH)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 4, 16, 16, 1)))
+    seg = Segmenter(model=model, params=params, patch_size=(4, 16, 16),
+                    slice_separation=4, mirror=False, num_classes=3)
+    vol = rng.normal(size=(6, 24, 24)).astype(np.float32)
+    pred = seg.segment(vol)
+    assert pred.shape == (6, 24, 24) and pred.max() <= 2
+    lr, hr = seg.segment(vol, hr=True)
+    assert hr.shape == (24, 24, 24)
+    many = seg.segment_many([vol, vol])
+    np.testing.assert_array_equal(many[0], pred)
+    # streaming engine too
+    stream = Segmenter(model=model, params=params, patch_size=(4, 16, 16),
+                       slice_separation=4, mirror=False, num_classes=3,
+                       streaming=2)
+    np.testing.assert_array_equal(stream.segment(vol), pred)
+
+
+def test_segment_many_streaming_falls_back(rng):
+    """segment_many with streaming configured must not silently run the
+    whole-volume accumulators the config was set to avoid."""
+    model = SegModel(num_classes=2, upscale=4, arch=SMALL_ARCH)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 4, 16, 16, 1)))
+    stream = Segmenter(model=model, params=params, patch_size=(4, 16, 16),
+                       slice_separation=4, mirror=False, streaming=2)
+    whole = Segmenter(model=model, params=params, patch_size=(4, 16, 16),
+                      slice_separation=4, mirror=False)
+    vols = [rng.normal(size=(8, 20, 20)).astype(np.float32)
+            for _ in range(2)]
+    for a, b in zip(stream.segment_many(vols), whole.segment_many(vols)):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_segmenter_compute_dtype_constructor(rng):
+    """compute_dtype is a real dataclass field (a bare class attribute made
+    Segmenter(compute_dtype=...) a TypeError)."""
+    model = SegModel(num_classes=2, upscale=4, arch=SMALL_ARCH)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 4, 16, 16, 1)))
+    seg32 = Segmenter(model=model, params=params, patch_size=(4, 16, 16),
+                      slice_separation=4, mirror=False,
+                      compute_dtype=jnp.float32)
+    leaf = jax.tree.leaves(seg32.params)[0]
+    assert leaf.dtype == jnp.float32
+    vol = rng.normal(size=(6, 24, 24)).astype(np.float32)
+    assert seg32.segment(vol).shape == (6, 24, 24)
