@@ -38,7 +38,6 @@ _DTYPES = {
 }
 _DTYPE_CODES = {np.dtype(v): k for k, v in _DTYPES.items()}
 
-_HDR_FMT = "<i" + "10s18shi3s" + "b" + "8h" + "3f" + "hhhh" + "8f" + "ffhh" + "ffff" + "ii" + "80s24s" + "hh" + "6f" + "4f4f4f" + "16s4s"
 _HDR_SIZE = 348
 
 
@@ -80,9 +79,12 @@ class NiftiImage:
     def get_fdata(self, dtype=np.float64) -> np.ndarray:
         d = self.data.astype(dtype)
         h = self.header
-        if h is not None and h.scl_slope not in (0.0, 1.0) or (h and h.scl_inter != 0.0):
-            slope = h.scl_slope if h.scl_slope != 0.0 else 1.0
-            d = d * slope + h.scl_inter
+        # NIfTI-1 spec (and nibabel): scl_slope == 0 means "scaling unset" —
+        # ignore BOTH slope and inter (applying inter anyway would shift
+        # every voxel of a scanner-written file with slope=0, inter!=0)
+        if (h is not None and h.scl_slope != 0.0
+                and (h.scl_slope != 1.0 or h.scl_inter != 0.0)):
+            d = d * h.scl_slope + h.scl_inter
         return d
 
     @property
@@ -132,7 +134,13 @@ def load(path: str) -> NiftiImage:
     srow_y = struct.unpack_from("<4f", raw, 296)
     srow_z = struct.unpack_from("<4f", raw, 312)
     magic = struct.unpack_from("<4s", raw, 344)[0]
-    if magic not in (b"n+1\x00", b"ni1\x00"):
+    if magic == b"ni1\x00":
+        # two-file (.hdr/.img) NIfTI: the voxels live in a separate .img
+        # file this single-file reader would misread header bytes as
+        raise ValueError(
+            f"{path}: two-file NIfTI (.hdr/.img pair, magic 'ni1') is not "
+            "supported — convert to single-file .nii/.nii.gz")
+    if magic != b"n+1\x00":
         raise ValueError(f"{path}: bad NIfTI magic {magic!r}")
 
     if datatype not in _DTYPES:
@@ -217,9 +225,12 @@ def save(img: NiftiImage, path: str) -> None:
     struct.pack_into("<4f", buf, 312, *affine[2])
     struct.pack_into("<4s", buf, 344, b"n+1\x00")
 
-    payload = bytes(buf) + np.asfortranarray(data).tobytes(order="F")
+    # two writes, no concatenation: tobytes(order="F") already serializes
+    # any layout, so asfortranarray + concat would make ~3x peak copies of
+    # a large SR volume for identical bytes
     with _open_maybe_gz(path, "wb") as f:
-        f.write(payload)
+        f.write(bytes(buf))
+        f.write(data.tobytes(order="F"))
 
 
 # ---------------------------------------------------------------------------

@@ -9,7 +9,6 @@ the full train state and restore is exact.
 from __future__ import annotations
 
 import os
-from typing import Any
 
 import jax
 import numpy as np
@@ -51,7 +50,7 @@ def restore_checkpoint(directory: str, state: TrainState,
     """Restore into the structure of ``state`` (so shardings/dtypes match)."""
     directory = os.path.abspath(directory)
     if step is None:
-        step = latest_step(directory)
+        step = latest_step(directory, name)
         if step is None:
             raise FileNotFoundError(f"no checkpoints under {directory}")
     path = os.path.join(directory, str(step), name)
@@ -73,7 +72,7 @@ def restore_checkpoint_raw(directory: str, step: int | str | None = None,
     distillation was on)."""
     directory = os.path.abspath(directory)
     if step is None:
-        step = latest_step(directory)
+        step = latest_step(directory, name)
         if step is None:
             raise FileNotFoundError(f"no checkpoints under {directory}")
     path = os.path.join(directory, str(step), name)

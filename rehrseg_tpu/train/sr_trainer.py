@@ -12,7 +12,6 @@ axis, params replicate — XLA inserts the gradient all-reduce over ICI.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax

@@ -21,8 +21,6 @@ models/wdsr.py).
 
 from __future__ import annotations
 
-import re
-from typing import Callable
 
 import numpy as np
 

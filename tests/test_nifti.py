@@ -109,3 +109,57 @@ def test_normalize_roundtrip(rng):
     assert np.allclose(inv_normalize(y, lo, hi, a=-1, b=1), x)
     y0, lo0, hi0 = normalize(x, a=0, b=1)
     assert np.allclose(inv_normalize(y0, lo0, hi0, a=0, b=1), x)
+
+
+def test_scl_slope_zero_means_unscaled(tmp_path, rng):
+    """NIfTI-1 spec / nibabel parity: scl_slope == 0 -> ignore BOTH slope
+    and inter (a 'scaling unset' header must not shift intensities)."""
+    data = rng.normal(size=(4, 4, 2)).astype(np.float32)
+    img = nifti.NiftiImage(data=data, affine=np.eye(4))
+    img.header.scl_slope = 0.0
+    img.header.scl_inter = 100.0
+    np.testing.assert_array_equal(img.get_fdata(np.float32), data)
+    # real scaling still applies
+    img.header.scl_slope = 2.0
+    img.header.scl_inter = 1.0
+    np.testing.assert_allclose(img.get_fdata(np.float32), data * 2 + 1,
+                               rtol=1e-6)
+
+
+def test_two_file_nifti_rejected(tmp_path, rng):
+    """'ni1' magic (a .hdr/.img pair's header) must fail loudly, not
+    reinterpret header bytes as voxels."""
+    import struct
+    p = str(tmp_path / "pair.nii")
+    data = rng.normal(size=(2, 2, 2)).astype(np.float32)
+    nifti.save(nifti.NiftiImage(data=data, affine=np.eye(4)), p)
+    raw = bytearray(open(p, "rb").read())
+    struct.pack_into("<4s", raw, 344, b"ni1\x00")
+    open(p, "wb").write(bytes(raw))
+    with pytest.raises(ValueError, match="two-file"):
+        nifti.load(p)
+
+
+def test_checkpoint_named_item_resume(tmp_path, rng):
+    """restore with a non-default item name resolves latest_step against
+    THAT name (it used to look for 'state' dirs and crash)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from rehrseg_tpu.train import TrainState
+    from rehrseg_tpu.train import checkpoint as ckpt
+    tx = optax.sgd(1e-3)
+    params = {"w": jnp.asarray(rng.normal(size=(3,)).astype(np.float32))}
+    state = TrainState.create(params, tx)
+    state = state.replace(step=jnp.asarray(7)) if hasattr(state, "replace") \
+        else type(state)(params=state.params, opt_state=state.opt_state,
+                         step=7)
+    d = str(tmp_path / "ck")
+    ckpt.save_checkpoint(d, state, name="seg")
+    restored = ckpt.restore_checkpoint(d, TrainState.create(params, tx),
+                                       name="seg")
+    assert int(restored.step) == 7
+    np.testing.assert_array_equal(np.asarray(restored.params["w"]),
+                                  np.asarray(params["w"]))
+    raw = ckpt.restore_checkpoint_raw(d, name="seg")
+    assert int(raw["step"]) == 7
