@@ -30,6 +30,13 @@ extern "C" {
 // on error, or -2 if out_capacity is too small.
 int64_t rh_gunzip(const uint8_t* in, int64_t in_len, uint8_t* out,
                   int64_t out_capacity) {
+    // zlib's single-shot lengths are 32-bit uInt; a silent truncation here
+    // made avail_out wrap to 0 for >=4 GiB capacities (the Python caller
+    // then grew the buffer forever). Refuse instead: -1 routes the caller
+    // to the streaming gzip-module fallback, which handles any size.
+    if (in_len < 0 || in_len > static_cast<int64_t>(UINT32_MAX) ||
+        out_capacity < 0 || out_capacity > static_cast<int64_t>(UINT32_MAX))
+        return -1;
     z_stream zs;
     std::memset(&zs, 0, sizeof(zs));
     if (inflateInit2(&zs, 16 + MAX_WBITS) != Z_OK) return -1;
@@ -39,9 +46,12 @@ int64_t rh_gunzip(const uint8_t* in, int64_t in_len, uint8_t* out,
     zs.avail_out = static_cast<uInt>(out_capacity);
     int ret = inflate(&zs, Z_FINISH);
     int64_t written = static_cast<int64_t>(zs.total_out);
+    uInt out_left = zs.avail_out;
     inflateEnd(&zs);
     if (ret == Z_STREAM_END) return written;
-    if (ret == Z_BUF_ERROR) return -2;
+    // Z_BUF_ERROR with output space remaining means the INPUT ran dry
+    // (truncated/corrupt stream) — growing the buffer cannot fix that.
+    if (ret == Z_BUF_ERROR && out_left == 0) return -2;
     return -1;
 }
 

@@ -66,7 +66,8 @@ def _blur3(x, sigma):
         moved = jnp.moveaxis(x, axis, -1)
         pad = 4
         padded = jnp.pad(moved, [(0, 0)] * (moved.ndim - 1) + [(pad, pad)],
-                         mode="edge")  # scipy gaussian_filter default reflect-ish
+                         mode="symmetric")  # scipy gaussian_filter default
+                         # 'reflect' = (d c b a | a b c d) = numpy symmetric
         windows = jnp.stack([padded[..., i:i + moved.shape[-1]]
                              for i in range(2 * pad + 1)], axis=-1)
         moved = jnp.einsum("...w,w->...", windows, k)
@@ -104,7 +105,7 @@ def _spatial_one(key, data, segs, cont, patch_hw):
 
 def _intensity_one(key, data):
     """Intensity chain on one sample's data (z, Y, X)."""
-    keys = jax.random.split(key, 12)
+    keys = jax.random.split(key, 13)
 
     # GaussianNoise p=0.1 (batchgenerators uses the sampled variance as std)
     std = jax.random.uniform(keys[1], minval=0.0, maxval=0.1)
@@ -127,15 +128,17 @@ def _intensity_one(key, data):
     contrasted = jnp.clip((data - mn) * factor + mn, data.min(), data.max())
     data = jnp.where(jax.random.uniform(keys[8]) < 0.15, contrasted, data)
 
-    # SimulateLowResolution p=0.25 (in-plane only; ignore_axes=(0,) = z),
-    # quantized zoom factor per axis
+    # SimulateLowResolution p_per_sample=0.25 x p_per_channel=0.5
+    # (in-plane only; ignore_axes=(0,) = z). batchgenerators draws ONE
+    # scalar zoom per channel for all non-ignored axes, so y and x share
+    # the same quantized factor index deliberately.
     mats_y = jnp.asarray(_lowres_matrices(data.shape[1]))
     mats_x = jnp.asarray(_lowres_matrices(data.shape[2]))
-    ky = jax.random.randint(keys[10], (), 0, len(_ZOOM_FACTORS))
-    kx = jax.random.randint(keys[10], (), 0, len(_ZOOM_FACTORS))
-    low = jnp.einsum("zyx,Yy->zYx", data, mats_y[ky])
-    low = jnp.einsum("zYx,Xx->zYX", low, mats_x[kx])
-    do_lr = (jax.random.uniform(keys[11]) < 0.25)
+    kf = jax.random.randint(keys[10], (), 0, len(_ZOOM_FACTORS))
+    low = jnp.einsum("zyx,Yy->zYx", data, mats_y[kf])
+    low = jnp.einsum("zYx,Xx->zYX", low, mats_x[kf])
+    do_lr = (jax.random.uniform(keys[11]) < 0.25) & \
+            (jax.random.uniform(keys[12]) < 0.5)
     data = jnp.where(do_lr, low, data)
     return data
 

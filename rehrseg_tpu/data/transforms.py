@@ -175,7 +175,15 @@ def augment_linear_downsampling(data, rng, zoom_range=(0.5, 1.0),
     spatial = data.shape[1:]
     for c in range(data.shape[0]):
         if rng.uniform() < p_per_channel:
-            factors = [rng.uniform(*zoom_range) for _ in spatial]
+            # batchgenerators draws ONE scalar zoom per channel applied to
+            # every non-ignored axis (zoom_range entries are scalars here)
+            # — per-axis draws would generate anisotropic in-plane
+            # degradation the reference never produces. Backend note: this
+            # port composes scipy.ndimage.zoom (order 0 down / 3 up) where
+            # batchgenerators uses skimage.transform.resize; the
+            # interpolation weights differ slightly at non-integer grids.
+            factor = rng.uniform(*zoom_range)
+            factors = [factor] * len(spatial)
             if ignore_axes is not None:
                 for ax in ignore_axes:
                     factors[ax] = 1.0

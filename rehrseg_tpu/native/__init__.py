@@ -87,16 +87,20 @@ def gunzip(data: bytes, hint_size: int | None = None) -> bytes:
         return gzip.decompress(data)
     inp = np.frombuffer(data, dtype=np.uint8)
     cap = max(hint_size or 0, len(data) * 4, 1 << 16)
-    while True:
+    # zlib single-shot is 32-bit; beyond that (or on truncated input, which
+    # the C side reports as -1) stream through the gzip module instead
+    while cap <= (1 << 32) - 1:
         out = np.empty(cap, dtype=np.uint8)
         n = lib.rh_gunzip(_ptr(inp), len(inp), _ptr(out), cap)
         if n == -2:
-            cap *= 4
+            cap = min(cap * 4, (1 << 32) - 1) if cap < (1 << 32) - 1 \
+                else (1 << 32)
             continue
         if n < 0:
-            import gzip
-            return gzip.decompress(data)
+            break
         return out[:n].tobytes()
+    import gzip
+    return gzip.decompress(data)
 
 
 def gzip_compress(data: bytes, level: int = 6) -> bytes:

@@ -74,3 +74,18 @@ def test_native_nifti_load_fast_path(tmp_path, rng):
     save(NiftiImage(data=data), p)
     img = load(p)
     assert np.allclose(img.data, data)
+
+
+def test_gunzip_truncated_input_falls_back_or_raises():
+    """A truncated gzip stream must not hang the native retry loop (it used
+    to read Z_BUF_ERROR as 'buffer too small' and grow forever)."""
+    import gzip as _gzip
+    import pytest
+    from rehrseg_tpu import native
+    payload = bytes(range(256)) * 64
+    blob = _gzip.compress(payload)
+    truncated = blob[:len(blob) // 2]
+    with pytest.raises(Exception):  # gzip-module fallback raises EOFError
+        native.gunzip(truncated)
+    # intact streams still inflate natively
+    assert native.gunzip(blob) == payload
