@@ -499,7 +499,11 @@ def main():
              # is now against the HIGHER (corrected) ceiling, so r4 MFU
              # values are NOT comparable to r2/r3 captures (docs/
              # BENCHMARKS.md "Chip-peak probe correction")
-             "peak_probe": "chained-matmul-r4"}
+             "peak_probe": "chained-matmul-r4",
+             "mfu_note": ("denominator corrected r4 (88->~130 TF/s); "
+                          "*_mfu_vs_chip_peak not comparable to r2/r3 "
+                          "captures — same engine reads ~0.65x the old "
+                          "figure")}
     # RAW FLOPs of the packed forward actually executed (parity FLOPs x the
     # space-to-depth packing inflation): raw MFU is the "how close to the
     # hardware are we" signal; parity MFU is the "how much useful math per
