@@ -633,8 +633,10 @@ def main():
         al_extra = {"aligned_error": f"{type(e).__name__}"}
 
     # the headline is the better of the two e2e engines (both compute the
-    # same gaussian sliding-window 8-TTA segmentation; "engine" records
-    # which won this capture)
+    # same gaussian sliding-window 8-TTA segmentation — a TESTED claim:
+    # tests/test_aligned_engine.py diverging-grid tests pin Dice >= 0.999
+    # with every disagreement inside the 2-voxel boundary band on grids
+    # where parity starts are NOT aligned; "engine" records which won)
     if al_extra.get("aligned_voxps", 0) > voxps:
         voxps = al_extra["aligned_voxps"]
         dt = voxels / voxps

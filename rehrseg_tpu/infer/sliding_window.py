@@ -567,7 +567,22 @@ def aligned_sliding_window_starts(image_size, patch_size,
         actual = span_pad / (n - 1)
         ss = [int(np.round(actual * i / snap)) * snap for i in range(n)]
         ss[-1] = span_pad
-        out_steps.append(sorted(set(ss)))
+        ss = sorted(set(ss))
+        # COVERAGE GUARD: snapping can open a gap wider than the patch when
+        # patch_size[dim] is small relative to the snap (e.g. a 16-wide
+        # patch with the 128 W-snap) — every voxel must be under a tile.
+        # Rebuild the axis with the widest aligned step that still covers;
+        # impossible when the patch is narrower than the snap.
+        if any(b - a > patch_size[dim] for a, b in zip(ss, ss[1:])):
+            max_step = patch_size[dim] // snap * snap
+            if max_step == 0:
+                raise ValueError(
+                    f"aligned tile grid needs patch_size[{dim}] "
+                    f"({patch_size[dim]}) >= its snap ({snap}) when the "
+                    f"axis takes more than one tile; use the parity grid")
+            ss = sorted(set(list(range(0, span_pad, max_step))
+                            + [span_pad]))
+        out_steps.append(ss)
         padded.append(int(patch_size[dim] + span_pad))
     starts = [(sx, sy, sz, 1) for sx in out_steps[0] for sy in out_steps[1]
               for sz in out_steps[2]]
