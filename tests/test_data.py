@@ -307,3 +307,77 @@ def test_sr_dataset_anchored_subject_matching(tmp_path, rng):
                         "rf-pulse-slr", (16, 16), random_flip=False,
                         blur=False, nnunet_transform=False, preload=False)
     assert ds.subjects == ["case_1_0000.nii.gz"]
+
+
+def test_stage2_loader_workers_shard_device_aug_compose(tmp_path, rng):
+    """VERDICT r4 #7 joint test: worker processes (extra.loader_workers),
+    per-host sharding (shard=), and device augmentation landed in
+    different rounds — pin that they compose through the REAL stage-2
+    factory (Pipeline._make_loader). Each 2-shard multiprocess loader
+    must be byte-identical to the single-thread BatchLoader under the
+    same shard, the two shards must partition the global batch, and the
+    jitted device augmenter must produce identical tensors on the
+    identical batches."""
+    import jax
+    import jax.numpy as jnp
+
+    from rehrseg_tpu.config import Config
+    from rehrseg_tpu.pipeline import Pipeline
+    from rehrseg_tpu.data.device_aug import augment_seg_batch
+
+    for name in ("sub1", "sub2"):
+        shape = (48, 48, 32)
+        write_h5(str(tmp_path / f"{name}_0000.h5"),
+                 img=rng.normal(size=shape).astype(np.float32),
+                 seg=(rng.normal(size=shape) > 1).astype(np.float32),
+                 uncertainty=(rng.uniform(size=shape) * 255
+                              ).astype(np.float32))
+
+    cfg = Config(data_path=str(tmp_path), tmp_path=str(tmp_path / "tmp"),
+                 checkpoint_path=str(tmp_path / "ckpt"))
+    cfg.extra = {"loader_workers": 2}
+    pipe = Pipeline(cfg)
+    assert pipe.data_shard is None      # single process; shards simulated
+
+    def make_ds():
+        return SegSRDataset(str(tmp_path), ["sub1", "sub2"], 4.0, 1.0,
+                            patch_size_ori=(40, 40, 6),
+                            target_patch_size=(24, 24, 6),
+                            random_flip=True, uncertainty=True,
+                            device_augment=True)
+
+    n_batches, bsz = 3, 4
+    global_ref = BatchLoader(make_ds(), batch_size=bsz, shard=(0, 1))
+    global_batches = [global_ref.next() for _ in range(n_batches)]
+
+    shard_batches = []
+    for idx in (0, 1):
+        pipe.data_shard = (idx, 2)      # what a 2-host pod would set
+        mp = pipe._make_loader(make_ds(), bsz)
+        assert type(mp).__name__ == "MultiprocessBatchLoader"
+        try:
+            got = [mp.next() for _ in range(n_batches)]
+        finally:
+            mp.close()
+        ref = BatchLoader(make_ds(), batch_size=bsz, shard=(idx, 2))
+        for g, w in zip(got, [ref.next() for _ in range(n_batches)]):
+            assert set(g) == set(w)
+            for k in w:
+                assert np.array_equal(g[k], w[k]), k
+        shard_batches.append(got)
+
+    # the two host slices partition the global deterministic batch
+    for g0, g1, full in zip(*shard_batches, global_batches):
+        for k in full:
+            assert np.array_equal(np.concatenate([g0[k], g1[k]]), full[k])
+
+    # device aug on identical batches is identical (pure fn of batch+key)
+    b = shard_batches[0][0]
+    aug = jax.jit(lambda k, a, b_, c, d: augment_seg_batch(
+        k, a, b_, c, d, patch_hw=(24, 24), enable_uncertainty=True))
+    outs = [aug(jax.random.key(0), jnp.asarray(b["img"]),
+                jnp.asarray(b["label_lr"]), jnp.asarray(b["label_hr"]),
+                jnp.asarray(b["uncertainty_lr"])) for _ in range(2)]
+    for a, c in zip(*outs):
+        assert np.array_equal(np.asarray(a), np.asarray(c))
+    assert outs[0][0].shape == (bsz // 2, 6, 24, 24, 1)
