@@ -379,6 +379,20 @@ class Pipeline:
         sample stream differs from (but is as-distributed as) the
         single-thread stream; see data.datasets.MultiprocessBatchLoader."""
         workers = int((self.cfg.extra or {}).get("loader_workers", 0) or 0)
+        if (self.dp_mesh is None
+                and bool((self.cfg.extra or {}).get("device_sampler", True))):
+            # TPU-first: HBM-resident volumes + on-device crop/flip remove
+            # host prep from the loop entirely (the measured input-bound
+            # fix, docs/BENCHMARKS.md loader study). Bit-identical stream
+            # to the host loader (tests/test_device_sampler.py); datasets
+            # outside its covered mode (thin-z WDSR, host LR-sim, host
+            # transforms) fall back to the host loaders below.
+            from .data.device_sampler import DeviceSRPatchSampler
+            try:
+                return DeviceSRPatchSampler(ds, batch_size,
+                                            shard=self.data_shard)
+            except (ValueError, AttributeError):
+                pass
         if workers > 0:
             from .data.datasets import MultiprocessBatchLoader
             return MultiprocessBatchLoader(ds, batch_size,

@@ -122,10 +122,23 @@ class Segmenter:
                                                   self.patch_size)]
         return target_pad(vol, target_shape + [1], mode="constant")
 
+    def _aligned_ok(self, shape) -> bool:
+        """The aligned grid refuses volumes where snapping cannot cover
+        every voxel (patch narrower than an axis snap on a multi-tile
+        axis — sliding_window.py coverage guard); such volumes serve the
+        parity grid instead of erroring."""
+        from .infer.sliding_window import aligned_sliding_window_starts
+        try:
+            aligned_sliding_window_starts(shape, self.patch_size,
+                                          self.tile_step_size)
+            return True
+        except ValueError:
+            return False
+
     def segment(self, volume_zyx: np.ndarray, hr: bool = False):
         """volume: (z, y, x). Returns LR uint8 mask, or (lr, hr) with hr."""
         vol_p, pads = self._prep(volume_zyx)
-        if self.tile_grid == "aligned":
+        if self.tile_grid == "aligned" and self._aligned_ok(vol_p.shape[:3]):
             from .infer.sliding_window import (
                 predict_sliding_window_labels_aligned,
                 predict_sliding_window_dual_labels_aligned)
@@ -185,7 +198,9 @@ class Segmenter:
         if self.streaming or self.mesh is not None:
             return [self.segment(v) for v in volumes_zyx]
         prepped = [self._prep(v) for v in volumes_zyx]
-        if self.tile_grid == "aligned":
+        if (self.tile_grid == "aligned"
+                and all(self._aligned_ok(vol_p.shape[:3])
+                        for vol_p, _ in prepped)):
             from .infer.sliding_window import (
                 predict_sliding_window_labels_aligned_many)
             preds = predict_sliding_window_labels_aligned_many(
@@ -195,6 +210,9 @@ class Segmenter:
                 num_classes=self.num_classes)
             return [crop(p, pads[:3])
                     for p, (_, pads) in zip(preds, prepped)]
+        if self.tile_grid == "aligned":
+            # mixed coverage: stay engine-consistent per volume
+            return [self.segment(v) for v in volumes_zyx]
         pending = []
         for vol_p, _ in prepped:
             logits, _ = _run_sliding_window(
