@@ -51,6 +51,16 @@ def lr_fn_planes(p, b):
                                  plane_out=True)
 
 
+def lr_fn_pallas(p, b):
+    return segmodel_apply_packed(arch, p, b, pack_max_channels=64,
+                                 pallas_conv=True)
+
+
+def lr_fn_planes_pallas(p, b):
+    return segmodel_apply_packed(arch, p, b, pack_max_channels=64,
+                                 plane_out=True, pallas_conv=True)
+
+
 def dual_fn(p, b):
     return segmodel_apply_packed(arch, p, b, pack_max_channels=64,
                                  dual=True, upscale=SEP)
@@ -99,6 +109,20 @@ consume0 = jax.jit(lambda l: jnp.argmax(l, 0).astype(jnp.int32).sum())
 def run_aligned():
     lg = _sliding_window_scan_aligned(
         lr_fn_planes, params, dev_al, starts_al_d, g_dev, PATCH,
+        tuple(volp_al.shape[:3]), 1, 2, False)
+    return float(consume0(lg))
+
+
+def run_parity_pallas():
+    lg, _ = _sliding_window_scan(
+        lr_fn_pallas, params, dev_par, starts_par, g_dev, PATCH,
+        tuple(vol_p.shape[:3]), 1, True, 2, need_weights=False)
+    return float(consume(_argmax_uint8(lg)))
+
+
+def run_aligned_pallas():
+    lg = _sliding_window_scan_aligned(
+        lr_fn_planes_pallas, params, dev_al, starts_al_d, g_dev, PATCH,
         tuple(volp_al.shape[:3]), 1, 2, False)
     return float(consume0(lg))
 
@@ -153,6 +177,10 @@ if __name__ == "__main__":
     t_par = timed("parity grid + XLA tail  ", run_parity, voxels)
     t_al = timed("aligned grid + Pallas    ", run_aligned, voxels)
     print(f"LR engine speedup: {t_par / t_al:.3f}x")
+    t_pp = timed("parity + pallas convs    ", run_parity_pallas, voxels)
+    t_ap = timed("aligned + pallas convs   ", run_aligned_pallas, voxels)
+    print(f"pallas-conv speedup: parity {t_par / t_pp:.3f}x, "
+          f"aligned {t_al / t_ap:.3f}x")
     vox_dual = voxels * (1 + SEP)
     t_dp = timed("dual parity + XLA tail   ", run_dual_parity, vox_dual)
     t_da = timed("dual aligned + Pallas    ", run_dual_aligned, vox_dual)

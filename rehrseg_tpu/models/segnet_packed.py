@@ -89,19 +89,22 @@ def _transpconv_std(x, wt, b, strides):
     return y + b if b is not None else y
 
 
-def _unpack(x, layout):
+def _unpack(x, layout, tw=None):
     if layout == "a":
         return depth_to_space_hw(x)
     if layout == "o":
+        if tw is not None and tw != x.shape[3]:
+            x = x[:, :, :, :tw]      # strip pallas-layout pad columns
         return offset_to_unpacked_hw(x)
     return x
 
 
-def _true_hw(x, layout):
+def _true_hw(x, layout, tw=None):
     if layout == "a":
         return x.shape[2] * 2, x.shape[3] * 2
     if layout == "o":
-        return (x.shape[2] - 1) * 2, (x.shape[3] - 1) * 2
+        w = x.shape[3] if tw is None else tw
+        return (x.shape[2] - 1) * 2, (w - 1) * 2
     return x.shape[2], x.shape[3]
 
 
@@ -110,26 +113,38 @@ def _packable(kernel, h, w, feats, pack_max_channels):
             and h % 2 == 0 and w % 2 == 0)
 
 
-def _mask_offset(y, c):
-    m = offset_rim_mask(y.shape[2], y.shape[3], c, y.dtype)
+def _mask_offset(y, c, tw=None):
+    m = offset_rim_mask(y.shape[2], y.shape[3], c, y.dtype, true_w=tw)
     return y * m
 
 
+def _round8(v):
+    return -(-v // 8) * 8
+
+
 def _conv_norm_act(x, layout, cp, kernel, stride, feats, a, *,
-                   pack_max_channels, want_out="a", in_splits=None):
-    """One ConvNormAct. x in layout 'u'/'a'/'o'; returns (y, layout').
+                   pack_max_channels, want_out="a", in_splits=None,
+                   tw=None, pallas=False):
+    """One ConvNormAct. x in layout 'u'/'a'/'o'; returns (y, layout', tw').
 
     want_out: preferred packed output parity for stride-1 packed convs
     ('a' or 'o') — chosen by the caller so each stage ends ALIGNED.
+    tw: the TRUE offset width when layout == 'o' and the tensor is stored
+    wider (the pallas 8-aligned layout); None = exact width.
+    pallas: route covered stride-1 packed convs through ops.pallas_pconv
+    (offset tensors then live at 8-aligned widths).
     """
+    from ..ops.pallas_pconv import pconv_valid, pconv_pad11, pconv3_valid
+
     w = cp["conv"]["kernel"]
     b = cp["conv"].get("bias")
     scale = cp["norm"]["scale"] if a["norm_affine"] else None
     nbias = cp["norm"]["bias"] if a["norm_affine"] else None
     eps, slope = a["norm_eps"], a["nonlin_slope"]
 
-    h, wd = _true_hw(x, layout)
+    h, wd = _true_hw(x, layout, tw)
     strided = stride[1] == 2 and stride[2] == 2
+    otw = tw if tw is not None else (x.shape[3] if layout == "o" else None)
 
     # The packed dispatch implements exactly two stride shapes:
     # (1,1,1) and (d,2,2) with the D-stride carried by a kd>1 conv. Any
@@ -156,48 +171,92 @@ def _conv_norm_act(x, layout, cp, kernel, stride, feats, a, *,
                                        aligned_in_strided=True)
                 y = conv_packed(x, wp, b, d_stride=stride[0], hw_pad="pad10")
             else:  # offset
+                if otw is not None and otw != x.shape[3]:
+                    x = x[:, :, :, :otw]   # strip pallas pad columns
                 wp = pack_conv_weights(w, in_splits=in_splits,
                                        packed_out=False)
                 y = conv_packed(x, wp, b, d_stride=stride[0])
-            return _leaky(_instance_norm(y, scale, nbias, eps), slope), "u"
+            return (_leaky(_instance_norm(y, scale, nbias, eps), slope),
+                    "u", None)
 
         if not strided:
+            kd = int(kernel[0])
+            out_tw = None
             if layout == "u":
                 w4 = pack_conv_weights_from_unpacked(w)
-                y = conv_packing(x, w4, pack_bias(b) if b is not None
-                                 else None, offset_out=(want_out == "o"))
                 out = want_out
+                if out == "o" and pallas:
+                    out_tw = x.shape[3] // 2 + 1
+                    y = conv_packing(x, w4, pack_bias(b) if b is not None
+                                     else None, offset_out=True,
+                                     out_w=_round8(out_tw))
+                else:
+                    y = conv_packing(x, w4, pack_bias(b) if b is not None
+                                     else None,
+                                     offset_out=(want_out == "o"))
             elif layout == "a":
                 wp = pack_conv_weights(w, in_splits=in_splits)
-                y = conv_packed(x, wp, pack_bias(b) if b is not None
-                                else None, hw_pad="pad11")
+                pb = pack_bias(b) if b is not None else None
                 out = "o"
+                out_tw = x.shape[3] + 1
+                y = None
+                if pallas and kd == 1:
+                    bsz, d = x.shape[0], x.shape[1]
+                    y4 = pconv_pad11(
+                        x.reshape(bsz * d, *x.shape[2:]), wp[0], pb)
+                    if y4 is not None:
+                        y = y4.reshape(bsz, d, *y4.shape[1:])
+                if y is None and pallas:
+                    # kd==3 (or uncovered): XLA conv emitting the widened
+                    # layout directly; pad columns hold the bias and the
+                    # rim mask below zeroes them
+                    y = conv_packed(x, wp, pb, hw_pad="pad11",
+                                    out_w=_round8(out_tw))
+                elif y is None:
+                    y = conv_packed(x, wp, pb, hw_pad="pad11")
+                    out_tw = None
             else:  # offset -> aligned
                 wp = pack_conv_weights(w, in_splits=in_splits)
-                y = conv_packed(x, wp, pack_bias(b) if b is not None
-                                else None)
+                pb = pack_bias(b) if b is not None else None
                 out = "a"
+                y = None
+                if pallas and otw is not None and (otw - 1) % 8 == 0:
+                    if kd == 1:
+                        bsz, d = x.shape[0], x.shape[1]
+                        y4 = pconv_valid(
+                            x.reshape(bsz * d, *x.shape[2:]), wp[0], pb,
+                            w_out=otw - 1)
+                        if y4 is not None:
+                            y = y4.reshape(bsz, d, *y4.shape[1:])
+                    else:
+                        y = pconv3_valid(x, wp, pb, w_out=otw - 1)
+                if y is None:
+                    if otw is not None and otw != x.shape[3]:
+                        x = x[:, :, :, :otw]
+                    y = conv_packed(x, wp, pb)
             if out == "o":
-                y = _mask_offset(y, feats)
+                y = _mask_offset(y, feats, tw=out_tw)
                 y = instance_norm_packed(y, scale, nbias, eps,
-                                         offset_parity=True)
-                y = _mask_offset(_leaky(y, slope), feats)
+                                         offset_parity=True,
+                                         true_w=out_tw)
+                y = _mask_offset(_leaky(y, slope), feats, tw=out_tw)
             else:
                 y = _leaky(instance_norm_packed(y, scale, nbias, eps),
                            slope)
-            return y, out
+            return y, out, out_tw
 
     # ---------------- standard path
-    x = _unpack(x, layout)
+    x = _unpack(x, layout, otw)
     y = _conv_std(x, w, b, stride)
-    return _leaky(_instance_norm(y, scale, nbias, eps), slope), "u"
+    return (_leaky(_instance_norm(y, scale, nbias, eps), slope), "u", None)
 
 
 def segmodel_apply_packed(arch: dict, params, x, *, num_classes: int = 2,
                           upscale: int = 4, pack_max_channels: int = 128,
                           dual: bool = False, return_skips: bool = False,
                           remat: bool = False, plane_out: bool = False,
-                          sr_head_form: str = "auto"):
+                          sr_head_form: str = "auto",
+                          pallas_conv: bool = False):
     """Forward identical to SegModel.apply (models/segnet.py:176-186) with
     packed high-res stages. Returns lr_logits, (lr_logits, hr_logits) when
     ``dual``, or (lr, hr, skips) when ``return_skips`` (the KD student
@@ -265,17 +324,19 @@ def segmodel_apply_packed(arch: dict, params, x, *, num_classes: int = 2,
     maybe_ckpt = _ckpt("head")
 
     # ---------------- encoder: each stage ends ALIGNED (or unpacked)
-    cur, layout = x, "u"
-    skips = []  # (tensor, layout)
+    cur, layout, cur_tw = x, "u", None
+    skips = []  # (tensor, layout, true offset width or None)
     for s in range(n):
         n_convs = a["n_conv_per_stage"][s]
         out_layout = layout
+        out_tw = cur_tw
 
-        def enc_stage(cur_in, sp, *, _s=s, _n=n_convs, _in=layout):
+        def enc_stage(cur_in, sp, *, _s=s, _n=n_convs, _in=layout,
+                      _tw=cur_tw):
             # layout decisions are trace-time static (they derive from
             # shapes); smuggle the final one out through the closure
-            nonlocal out_layout
-            lay = _in
+            nonlocal out_layout, out_tw
+            lay, tw = _in, _tw
             y = cur_in
             for i in range(_n):
                 st = strides[_s] if i == 0 else (1, 1, 1)
@@ -284,46 +345,51 @@ def segmodel_apply_packed(arch: dict, params, x, *, num_classes: int = 2,
                     want = "o" if remaining >= 2 else "a"
                 else:
                     want = "a"
-                y, lay = _conv_norm_act(
+                y, lay, tw = _conv_norm_act(
                     y, lay, sp[f"conv_{i}"], kernels[_s], st, feats[_s], a,
-                    pack_max_channels=pack_max_channels, want_out=want)
-            out_layout = lay
+                    pack_max_channels=pack_max_channels, want_out=want,
+                    tw=tw, pallas=pallas_conv)
+            out_layout, out_tw = lay, tw
             return y
 
         cur = _ckpt("enc", s)(enc_stage)(cur, penc[f"stage_{s}"])
-        layout = out_layout
-        skips.append((cur, layout))
+        layout, cur_tw = out_layout, out_tw
+        skips.append((cur, layout, cur_tw))
 
     # ---------------- decoder
-    lres, lres_layout = skips[-1]
+    lres, lres_layout, lres_tw = skips[-1]
     seg_logits = None
     features = None
     features_layout = "u"
+    features_tw = None
+    cur_tw = None
     for s in range(n - 1):
         ridx = n - 2 - s
         stride = strides[n - 1 - s]
         out_ch = feats[ridx]
         wt = pdec[f"transpconv_{s}"]["kernel"]
         bt = pdec[f"transpconv_{s}"].get("bias")
-        skip, skip_layout = skips[ridx]
+        skip, skip_layout, skip_tw = skips[ridx]
 
-        h_t, w_t = _true_hw(skip, skip_layout)
+        h_t, w_t = _true_hw(skip, skip_layout, skip_tw)
         pack_here = (_packable(kernels[ridx], h_t, w_t, out_ch,
                                pack_max_channels)
                      and stride[1] == 2 and stride[2] == 2
                      and skip_layout in ("a", "u"))
 
-        lres = _unpack(lres, lres_layout)
+        lres = _unpack(lres, lres_layout, lres_tw)
         lres_layout = "u"
 
         out_layout = "u"
+        out_tw = None
 
         def dec_stage(lres_in, skip_in, tp, sp, *, _s=s, _ridx=ridx,
                       _pack=pack_here, _skip_layout=skip_layout,
-                      _out_ch=out_ch, _stride=stride):
-            nonlocal out_layout
+                      _skip_tw=skip_tw, _out_ch=out_ch, _stride=stride):
+            nonlocal out_layout, out_tw
             wt_ = tp["kernel"]
             bt_ = tp.get("bias")
+            tw = None
             if _pack:
                 up = pointwise_packed_transpconv(
                     lres_in, pack_transpconv_weights(wt_),
@@ -336,27 +402,29 @@ def segmodel_apply_packed(arch: dict, params, x, *, num_classes: int = 2,
                            else skip_in.shape[-1])
                 splits = [_out_ch, skip_ch]
                 for i in range(a["n_conv_per_stage_decoder"][_s]):
-                    y, lay = _conv_norm_act(
+                    y, lay, tw = _conv_norm_act(
                         y, lay, sp[f"conv_{i}"], kernels[_ridx], (1, 1, 1),
                         _out_ch, a, pack_max_channels=pack_max_channels,
-                        in_splits=splits if i == 0 else None, want_out="a")
+                        in_splits=splits if i == 0 else None, want_out="a",
+                        tw=tw, pallas=pallas_conv)
             else:
                 up = _transpconv_std(lres_in, wt_, bt_, _stride)
-                y = jnp.concatenate([up, _unpack(skip_in, _skip_layout)],
-                                    axis=-1)
+                y = jnp.concatenate(
+                    [up, _unpack(skip_in, _skip_layout, _skip_tw)],
+                    axis=-1)
                 lay = "u"
                 for i in range(a["n_conv_per_stage_decoder"][_s]):
-                    y, lay = _conv_norm_act(
+                    y, lay, tw = _conv_norm_act(
                         y, lay, sp[f"conv_{i}"], kernels[_ridx], (1, 1, 1),
                         _out_ch, a, pack_max_channels=pack_max_channels,
-                        want_out="a")
-            out_layout = lay
+                        want_out="a", tw=tw, pallas=pallas_conv)
+            out_layout, out_tw = lay, tw
             return y
 
         cur = _ckpt("dec", s)(dec_stage)(lres, skip,
                                          pdec[f"transpconv_{s}"],
                                          pdec[f"stage_{s}"])
-        layout = out_layout
+        layout, cur_tw = out_layout, out_tw
 
         if s == n - 2:
             wseg = pdec[f"seg_layer_{s}"]["kernel"]
@@ -370,21 +438,22 @@ def segmodel_apply_packed(arch: dict, params, x, *, num_classes: int = 2,
                                 preferred_element_type=cur.dtype)
                 lg = lg + pack_bias(bseg)
                 if layout == "o":
-                    lg = _mask_offset(lg, wseg.shape[-1])
+                    lg = _mask_offset(lg, wseg.shape[-1], tw=cur_tw)
                 if plane_out:
                     # per-class depth_to_space (packed channel order is
                     # (cell, class)) — same total traffic as one d2s
                     seg_logits = jnp.stack(
-                        [_unpack(lg[..., c::n_cls], layout)[..., 0]
+                        [_unpack(lg[..., c::n_cls], layout, cur_tw)[..., 0]
                          for c in range(n_cls)], axis=1)
                 else:
-                    seg_logits = _unpack(lg, layout)
+                    seg_logits = _unpack(lg, layout, cur_tw)
             else:
                 seg_logits = _conv_std(cur, wseg, bseg, (1, 1, 1))
                 if plane_out:
                     seg_logits = jnp.moveaxis(seg_logits, -1, 1)
             features, features_layout = cur, layout
-        lres, lres_layout = cur, layout
+            features_tw = cur_tw
+        lres, lres_layout, lres_tw = cur, layout, cur_tw
 
     if not dual and not return_skips:
         return seg_logits
@@ -443,7 +512,7 @@ def segmodel_apply_packed(arch: dict, params, x, *, num_classes: int = 2,
                     [depth_to_space_hw(out[..., c::ncl])[..., 0]
                      for c in range(ncl)], axis=1)
             return depth_to_space_hw(out)
-        f = _unpack(feats_in, features_layout)
+        f = _unpack(feats_in, features_layout, features_tw)
         up = upsample_axis_linear(f, upscale, axis=1, align_corners=True)
         h1 = jax.nn.relu(_conv_std(up, w1_, b1_, (1, 1, 1)))
         hr_ = _conv_std(h1, w2_, b2_, (1, 1, 1))
@@ -451,5 +520,5 @@ def segmodel_apply_packed(arch: dict, params, x, *, num_classes: int = 2,
 
     hr = maybe_ckpt(sr_head)(features, w1, b1, w2, b2)
     if return_skips:
-        return seg_logits, hr, [_unpack(t, l) for t, l in skips]
+        return seg_logits, hr, [_unpack(t, l, tw_) for t, l, tw_ in skips]
     return seg_logits, hr

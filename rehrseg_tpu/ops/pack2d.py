@@ -372,14 +372,24 @@ def pack_conv_weights_from_unpacked(w: jnp.ndarray) -> jnp.ndarray:
 
 
 def conv_packing(x: jnp.ndarray, w4: jnp.ndarray, b, *,
-                 offset_out: bool = False) -> jnp.ndarray:
+                 offset_out: bool = False,
+                 out_w: int | None = None) -> jnp.ndarray:
     """Unpacked (B, D, H, W, Ci) -> packed (B, D, H/2[+1], W/2[+1], 4Co)
     via the (kd, 4, 4) stride-(2,2) kernel from
-    pack_conv_weights_from_unpacked. kd==1 folds D into the batch."""
+    pack_conv_weights_from_unpacked. kd==1 folds D into the batch.
+
+    out_w (offset_out only): emit the offset tensor with extra zero-input
+    columns so its width is out_w cells (the 8-aligned pallas_pconv
+    layout) — the pad columns hold the bias and MUST be zeroed by the
+    caller's offset_rim_mask(true_w=W/2+1)."""
     kd = w4.shape[0]
     # offset output has H/2+1 cells (rows -1..H): window of cell 0 starts at
     # pixel -2 and of cell H/2 ends at pixel H+1 -> pad (2, 2)
     hw = ((2, 2), (2, 2)) if offset_out else ((1, 1), (1, 1))
+    if offset_out and out_w is not None:
+        extra = out_w - (x.shape[3] // 2 + 1)
+        assert extra >= 0, (out_w, x.shape)
+        hw = (hw[0], (2, 2 + 2 * extra))
     if kd == 1:
         bsz, d, h, w_, c = x.shape
         y = jax.lax.conv_general_dilated(
@@ -404,23 +414,31 @@ def pack_pointwise_weights(w: jnp.ndarray) -> jnp.ndarray:
     return jnp.kron(jnp.eye(4, dtype=w.dtype), w)
 
 
-def offset_rim_mask(hp: int, wp: int, c: int, dtype) -> jnp.ndarray:
+def offset_rim_mask(hp: int, wp: int, c: int, dtype,
+                    true_w: int | None = None) -> jnp.ndarray:
     """(hp, wp, 4c) 0/1 mask zeroing an offset-packed tensor's rim slots
     (the pixel positions outside the image that the offset grid carries).
     Convs that EMIT offset parity write garbage there (they evaluate the
     kernel one pixel beyond the image); downstream VALID convs require
     exact zeros. Multiply after the conv and again after the activation.
 
+    true_w: when the tensor is stored WIDER than its true offset width
+    (the Pallas-conv 8-aligned layout, ops/pallas_pconv.py), pass the
+    true width — columns >= true_w zero entirely and the right-rim
+    dx-mask applies at true_w - 1 instead of wp - 1.
+
     Built from iotas, NOT a literal: a dense (hp, wp, 4c) constant embeds
     multi-MB blobs into the program (a 21 MB MLIR at bench geometry that
     crashed the remote compile helper); the computed form is a few ops and
     CSEs across call sites."""
+    tw = wp if true_w is None else true_w
     ih = jax.lax.broadcasted_iota(jnp.int32, (hp, wp, 4), 0)
     iw = jax.lax.broadcasted_iota(jnp.int32, (hp, wp, 4), 1)
     g = jax.lax.broadcasted_iota(jnp.int32, (hp, wp, 4), 2)
     dy, dx = g // 2, g % 2
     ok = (((ih > 0) | (dy == 1)) & ((ih < hp - 1) | (dy == 0))
-          & ((iw > 0) | (dx == 1)) & ((iw < wp - 1) | (dx == 0)))
+          & ((iw > 0) | (dx == 1)) & ((iw < tw - 1) | (dx == 0))
+          & (iw < tw))
     return jnp.repeat(ok.astype(dtype), c, axis=-1)
 
 
@@ -449,14 +467,24 @@ _HW_PADS = {
 
 
 def conv_packed(xp: jnp.ndarray, wp: jnp.ndarray, b, *,
-                d_stride: int = 1, hw_pad: str = "valid") -> jnp.ndarray:
+                d_stride: int = 1, hw_pad: str = "valid",
+                out_w: int | None = None) -> jnp.ndarray:
     """Packed 2x2-cell conv. xp: (B, D, h', w', 4Ci) packed (offset parity
     for 'valid', aligned parity for 'pad11'/'pad10');
     wp: (kd, 2, 2, 4Ci, Cout'). kd==1 folds D into the batch (2D conv, the
     fast emitter path); kd==3 stays a 5D conv with SAME padding along D.
-    Bias b is in the OUTPUT layout (packed or not) or None."""
+    Bias b is in the OUTPUT layout (packed or not) or None.
+
+    out_w ('pad11' only): widen the right pad so the offset output has
+    out_w columns (8-aligned pallas_pconv layout); the zero-input pad
+    columns hold the bias and MUST be zeroed by the caller's
+    offset_rim_mask(true_w=w'+1)."""
     kd = wp.shape[0]
     hw = _HW_PADS[hw_pad]
+    if hw_pad == "pad11" and out_w is not None:
+        extra = out_w - (xp.shape[3] + 1)
+        assert extra >= 0, (out_w, xp.shape)
+        hw = (hw[0], (1, 1 + extra))
     if hw_pad == "valid" and wp.shape[1] == 4:
         # 5x5 original kernel -> (4,4) cell kernel: offset-in aligned-out
         # needs one extra cell of reach on each side
@@ -506,7 +534,8 @@ def pack_bias(b: jnp.ndarray) -> jnp.ndarray:
 
 def instance_norm_packed(xp: jnp.ndarray, scale, bias,
                          epsilon: float = 1e-5,
-                         offset_parity: bool = False) -> jnp.ndarray:
+                         offset_parity: bool = False,
+                         true_w: int | None = None) -> jnp.ndarray:
     """InstanceNorm over true spatial extent on a packed tensor.
 
     xp: (B, D, h, w, 4C); scale/bias: (C,) affine params or None. The four
@@ -519,7 +548,9 @@ def instance_norm_packed(xp: jnp.ndarray, scale, bias,
     offset_parity: the tensor is offset-packed with its rim already masked
     to zero — each group then holds (h-1)*(w-1) real pixels, so moments use
     the corrected count (var via E[x^2]-E[x]^2, one pass; the centered
-    two-pass form would need a second rim mask).
+    two-pass form would need a second rim mask). true_w: the true offset
+    width when the tensor is stored 8-aligned-wider (pallas_pconv layout;
+    pad columns are exact zeros and must not count).
     """
     b_, d, h, w, c4 = xp.shape
     c = c4 // 4
@@ -528,7 +559,7 @@ def instance_norm_packed(xp: jnp.ndarray, scale, bias,
         return jnp.tile(jnp.mean(t.reshape(b_, 4, c), axis=1), (1, 4))
 
     if offset_parity:
-        n = d * (h - 1) * (w - 1)
+        n = d * (h - 1) * ((true_w if true_w is not None else w) - 1)
         x32 = xp.astype(jnp.float32)
         m1 = group_mean(jnp.sum(x32, axis=(1, 2, 3)) / n)
         m2 = group_mean(jnp.sum(jnp.square(x32), axis=(1, 2, 3)) / n)

@@ -348,7 +348,7 @@ def _pad11_call(x, w, b, *, wp8_out, bi, interpret=False):
     )(x, w, b)
 
 
-def pconv_valid(x, w, b=None, *, w_out=None, interpret=False):
+def pconv_valid(x, w, b=None, *, w_out=None, interpret=None):
     """Offset-packed x (N, hp, wp8, 4Ci), wp8 % 8 == 0 (pad columns zero /
     ignored), packed weights w (2, 2, 4Ci, Co) -> aligned
     (N, hp-1, w_out, Co) with bias folded. Equals
@@ -365,13 +365,15 @@ def pconv_valid(x, w, b=None, *, w_out=None, interpret=False):
     bi = _pick_bi(hp - 1, wp8, c_in, w_out, c_out)
     if bi is None:
         return None
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     bias = (jnp.zeros((1, 1, c_out), x.dtype) if b is None
             else jnp.asarray(b, x.dtype).reshape(1, 1, -1))
     return _valid_call(x, jnp.asarray(w, x.dtype), bias, w_out=w_out,
-                       bi=bi, interpret=interpret)
+                       bi=bi, interpret=bool(interpret))
 
 
-def pconv_pad11(x, w, b=None, *, interpret=False):
+def pconv_pad11(x, w, b=None, *, interpret=None):
     """Aligned-packed x (N, h, w, 4Ci) -> offset (N, h+1, wp8, Co), where
     wp8 = round_up(w + 1, 8); cols > w are exact zeros. Equals
     conv_packed(x, w, b, hw_pad="pad11") on the true 0..w columns (the
@@ -385,10 +387,12 @@ def pconv_pad11(x, w, b=None, *, interpret=False):
     bi = _pick_bi(h, max(w_in, wp8_out), c_in, wp8_out, c_out)
     if bi is None:
         return None
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     bias = (jnp.zeros((1, 1, c_out), x.dtype) if b is None
             else jnp.asarray(b, x.dtype).reshape(1, 1, -1))
     return _pad11_call(x, jnp.asarray(w, x.dtype), bias, wp8_out=wp8_out,
-                       bi=bi, interpret=interpret)
+                       bi=bi, interpret=bool(interpret))
 
 
 # ------------------------------------------------------------- kd=3 VALID
@@ -527,7 +531,7 @@ def _valid3_call(x, w, b, *, w_out, bi, co_tile, interpret=False):
     )(x, w, b)
 
 
-def pconv3_valid(x, w, b=None, *, w_out=None, interpret=False):
+def pconv3_valid(x, w, b=None, *, w_out=None, interpret=None):
     """Offset-packed x (B, D, hp, wp8, 4Ci) (wp8 % 8 == 0, pad columns
     zero/ignored), packed weights w (3, 2, 2, 4Ci, Co) from
     pack_conv_weights of a (3,3,3) kernel -> aligned
@@ -562,7 +566,10 @@ def pconv3_valid(x, w, b=None, *, w_out=None, interpret=False):
             break
     if pick is None:
         return None
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     bias = (jnp.zeros((1, 1, c_out), x.dtype) if b is None
             else jnp.asarray(b, x.dtype).reshape(1, 1, -1))
     return _valid3_call(x, jnp.asarray(w, x.dtype), bias, w_out=w_out,
-                        bi=pick[0], co_tile=pick[1], interpret=interpret)
+                        bi=pick[0], co_tile=pick[1],
+                        interpret=bool(interpret))

@@ -282,3 +282,33 @@ def test_packed_train_step_head_form_loss_parity(rng):
         losses[form] = float(metrics["loss"])
     assert losses["auto"] == pytest.approx(losses["cell4"], rel=1e-4)
     assert losses["auto"] == pytest.approx(losses["legacy"], rel=1e-4)
+
+
+def test_packed_pallas_conv_matches_reference(rng):
+    """pallas_conv=True routes covered stride-1 packed convs through the
+    ops.pallas_pconv kernels (interpret mode on CPU) with offset tensors
+    stored at 8-aligned widths; must still equal SegModel.apply exactly —
+    including stages whose widths force the XLA fallbacks."""
+    model, params, x = _setup(ARCH_SMALL, rng)
+    ref_lr, ref_hr = model.apply(params, x)
+    got_lr, got_hr = segmodel_apply_packed(
+        ARCH_SMALL, params, x, pack_max_channels=64, dual=True, upscale=4,
+        pallas_conv=True)
+    np.testing.assert_allclose(np.asarray(got_lr), np.asarray(ref_lr),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_hr), np.asarray(ref_hr),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_packed_pallas_conv_plane_out(rng):
+    """pallas_conv + plane_out (the aligned-engine emission): per-class
+    planes equal the channel-last logits."""
+    model, params, x = _setup(ARCH_SMALL, rng)
+    base = segmodel_apply_packed(ARCH_SMALL, params, x,
+                                 pack_max_channels=64)
+    planes = segmodel_apply_packed(ARCH_SMALL, params, x,
+                                   pack_max_channels=64, plane_out=True,
+                                   pallas_conv=True)
+    np.testing.assert_allclose(
+        np.asarray(planes), np.asarray(jnp.moveaxis(base, -1, 1)),
+        rtol=2e-4, atol=2e-4)
