@@ -75,9 +75,17 @@ def _gather_batch(canvas, dec, ps):
 
     def one(row):
         idx, t, x0, y0, z0, f1, f2, f3, t2 = [row[k] for k in range(9)]
-        vol = lax.dynamic_index_in_dim(canvas, idx, 0, keepdims=False)
-        pa = lax.dynamic_slice(vol, (x0, y0, z0, 0), (ps0, ps1, ps2, 4))
-        pb = lax.dynamic_slice(vol, (y0, x0, z0, 0), (ps1, ps0, ps2, 4))
+        # The subject index MUST be part of ONE dynamic_slice on the
+        # stacked canvas: an indexed lookup (dynamic_index_in_dim) under
+        # vmap becomes a gather that materializes a FULL canvas volume
+        # per sample before the crop — 79 GB at the stage-1 bench
+        # geometry (measured: OOM on the 16 GB chip). A single slice
+        # with the batched leading start keeps the vmapped gather
+        # patch-sized.
+        pa = lax.dynamic_slice(canvas, (idx, x0, y0, z0, 0),
+                               (1, ps0, ps1, ps2, 4))[0]
+        pb = lax.dynamic_slice(canvas, (idx, y0, x0, z0, 0),
+                               (1, ps1, ps0, ps2, 4))[0]
         p = jnp.where(t.astype(bool), jnp.swapaxes(pb, 0, 1), pa)
         blur = jnp.where(t.astype(bool), p[..., 3], p[..., 2])
         hr = jnp.stack([p[..., 0], p[..., 1]], axis=-1)     # (x, y, z, 2)
