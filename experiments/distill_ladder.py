@@ -23,11 +23,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# In-plane extents must be multiples of 32 (DEFAULT_ARCH: five in-plane
+# stride-2 stages), or the decoder skip concats mismatch — (8,64,80) and
+# (16,192,240) from the first draft crash on exactly that.
 RUNGS = [
-    (8, 64, 80),
+    (8, 64, 96),
     (8, 128, 160),
     (16, 128, 160),
-    (16, 192, 240),
+    (16, 192, 224),
     (16, 256, 320),
 ]
 B, SEP, NUM_SLICES, PATCH2D = 2, 4, 4, 96
