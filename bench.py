@@ -302,7 +302,7 @@ def bench_dual_engine(model, arch, params, peak: float) -> dict:
     def dual_fn(p, batch):
         return segmodel_apply_packed(arch, p, batch.astype(COMPUTE_DTYPE),
                                      pack_max_channels=64, dual=True,
-                                     upscale=4)
+                                     upscale=4, pallas_conv="cat")
 
     rng = np.random.default_rng(3)
     vol = rng.normal(size=VOLUME).astype(np.float32)[..., None]
@@ -359,10 +359,13 @@ def bench_dual_engine(model, arch, params, peak: float) -> dict:
             _aligned_prep, _sliding_window_scan_dual_aligned)
 
         def dual_fn_planes(p, batch):
+            # pallas_conv="cat": fused decoder-concat kernel, measured
+            # +2.4% dual engine-level (docs/BENCHMARKS.md round-5)
             return segmodel_apply_packed(arch, p,
                                          batch.astype(COMPUTE_DTYPE),
                                          pack_max_channels=64, dual=True,
-                                         upscale=4, plane_out=True)
+                                         upscale=4, plane_out=True,
+                                         pallas_conv="cat")
 
         dev_al, starts_al, g_hr_al, patch_al, shape_al, interp = \
             _aligned_prep(vol_p, PATCH, TILE_STEP, True, 4,
@@ -443,7 +446,8 @@ def main():
 
     def lr_fn(p, batch):
         return segmodel_apply_packed(arch, p, batch.astype(COMPUTE_DTYPE),
-                                     pack_max_channels=64)
+                                     pack_max_channels=64,
+                                     pallas_conv="cat")
 
     rng = np.random.default_rng(0)
     vol = rng.normal(size=VOLUME).astype(np.float32)[..., None]
@@ -584,10 +588,13 @@ def main():
             _sliding_window_scan_aligned, aligned_sliding_window_starts)
 
         def lr_fn_planes(p, batch):
+            # pallas_conv="cat": fused decoder-concat kernel, measured
+            # +3.2% LR engine-level (docs/BENCHMARKS.md round-5)
             return segmodel_apply_packed(arch, p,
                                          batch.astype(COMPUTE_DTYPE),
                                          pack_max_channels=64,
-                                         plane_out=True)
+                                         plane_out=True,
+                                         pallas_conv="cat")
 
         def run_al(volumes):
             return predict_sliding_window_labels_aligned_many(

@@ -61,6 +61,11 @@ def lr_fn_planes_pallas(p, b):
                                  plane_out=True, pallas_conv=True)
 
 
+def lr_fn_planes_cat(p, b):
+    return segmodel_apply_packed(arch, p, b, pack_max_channels=64,
+                                 plane_out=True, pallas_conv="cat")
+
+
 def dual_fn(p, b):
     return segmodel_apply_packed(arch, p, b, pack_max_channels=64,
                                  dual=True, upscale=SEP)
@@ -69,6 +74,12 @@ def dual_fn(p, b):
 def dual_fn_planes(p, b):
     return segmodel_apply_packed(arch, p, b, pack_max_channels=64,
                                  dual=True, upscale=SEP, plane_out=True)
+
+
+def dual_fn_planes_cat(p, b):
+    return segmodel_apply_packed(arch, p, b, pack_max_channels=64,
+                                 dual=True, upscale=SEP, plane_out=True,
+                                 pallas_conv="cat")
 
 
 def timed(name, fn, vox, reps=3):
@@ -127,6 +138,13 @@ def run_aligned_pallas():
     return float(consume0(lg))
 
 
+def run_aligned_cat():
+    lg = _sliding_window_scan_aligned(
+        lr_fn_planes_cat, params, dev_al, starts_al_d, g_dev, PATCH,
+        tuple(volp_al.shape[:3]), 1, 2, False)
+    return float(consume0(lg))
+
+
 # ---------------- dual engines
 g_hr = _device_gaussian((PATCH[0] * SEP,) + PATCH[1:], True)
 consume2 = jax.jit(lambda a, b: a.astype(jnp.int32).sum()
@@ -145,8 +163,8 @@ from rehrseg_tpu.ops.pallas_tail import accumulate_tta_tile
 from rehrseg_tpu.infer.sliding_window import _mirror_batch_zgrouped
 
 
-@jax.jit
-def _dual_aligned(dev_data, starts_d):
+@partial(jax.jit, static_argnames=("fn",))
+def _dual_aligned(dev_data, starts_d, fn=dual_fn_planes):
     shape = tuple(dev_data.shape[:3])
     llr0 = jnp.zeros((2, *shape), jnp.float32)
     lhr0 = jnp.zeros((2, shape[0] * SEP, shape[1], shape[2]), jnp.float32)
@@ -158,7 +176,7 @@ def _dual_aligned(dev_data, starts_d):
             dev_data, (start[0], start[1], start[2], 0),
             (pd, ph, pw, dev_data.shape[-1]))
         batch = _mirror_batch_zgrouped(tile)
-        p_lr, p_hr = dual_fn_planes(params, batch)
+        p_lr, p_hr = fn(params, batch)
         llr = accumulate_tta_tile(llr, p_lr, g_dev, start, z_scale=1)
         lhr = accumulate_tta_tile(lhr, p_hr, g_hr, start, z_scale=SEP)
         return (llr, lhr), None
@@ -173,7 +191,24 @@ def run_dual_aligned():
     return float(consume2(a, b))
 
 
+def run_dual_aligned_cat():
+    a, b = _dual_aligned(dev_al, starts_al_d, fn=dual_fn_planes_cat)
+    return float(consume2(a, b))
+
+
 if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    vox_dual = voxels * (1 + SEP)
+    if which == "cat":
+        # round-5 concat-fusion A/B: XLA engines vs pallas_conv="cat"
+        t_al = timed("aligned grid + Pallas    ", run_aligned, voxels)
+        t_ac = timed("aligned + cat kernel     ", run_aligned_cat, voxels)
+        print(f"cat-conv LR speedup: {t_al / t_ac:.3f}x")
+        t_da = timed("dual aligned + Pallas    ", run_dual_aligned, vox_dual)
+        t_dc = timed("dual aligned + cat       ", run_dual_aligned_cat,
+                     vox_dual)
+        print(f"cat-conv dual speedup: {t_da / t_dc:.3f}x")
+        sys.exit(0)
     t_par = timed("parity grid + XLA tail  ", run_parity, voxels)
     t_al = timed("aligned grid + Pallas    ", run_aligned, voxels)
     print(f"LR engine speedup: {t_par / t_al:.3f}x")
@@ -181,7 +216,6 @@ if __name__ == "__main__":
     t_ap = timed("aligned + pallas convs   ", run_aligned_pallas, voxels)
     print(f"pallas-conv speedup: parity {t_par / t_pp:.3f}x, "
           f"aligned {t_al / t_ap:.3f}x")
-    vox_dual = voxels * (1 + SEP)
     t_dp = timed("dual parity + XLA tail   ", run_dual_parity, vox_dual)
     t_da = timed("dual aligned + Pallas    ", run_dual_aligned, vox_dual)
     print(f"dual engine speedup: {t_dp / t_da:.3f}x")

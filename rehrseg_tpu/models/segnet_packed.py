@@ -127,14 +127,36 @@ def _conv_norm_act(x, layout, cp, kernel, stride, feats, a, *,
                    tw=None, pallas=False):
     """One ConvNormAct. x in layout 'u'/'a'/'o'; returns (y, layout', tw').
 
+    x may also be a PAIR (xa, xb) of aligned-packed tensors standing for
+    concatenate([xa, xb], -1) with in_splits giving their unpacked
+    channel sizes — the decoder skip concat. When pallas covers the
+    shape, the pair feeds pconv_pad11_cat and the concatenated tensor is
+    never materialized (5.2% of the aligned engine's device time,
+    docs/BENCHMARKS.md round-5 op profile); every other path
+    concatenates here, which XLA fuses identically to a caller-side
+    concat.
+
     want_out: preferred packed output parity for stride-1 packed convs
     ('a' or 'o') — chosen by the caller so each stage ends ALIGNED.
     tw: the TRUE offset width when layout == 'o' and the tensor is stored
     wider (the pallas 8-aligned layout); None = exact width.
-    pallas: route covered stride-1 packed convs through ops.pallas_pconv
-    (offset tensors then live at 8-aligned widths).
+    pallas: route packed convs through ops.pallas_pconv (offset tensors
+    then live at 8-aligned widths). True = every covered stride-1 class
+    (a measured engine-level NEGATIVE, kept for the A/B harness);
+    "cat" = only the fused decoder-concat site (pconv_pad11_cat), the
+    measured-positive production configuration.
     """
-    from ..ops.pallas_pconv import pconv_valid, pconv_pad11, pconv3_valid
+    from ..ops.pallas_pconv import (pconv_valid, pconv_pad11, pconv3_valid,
+                                    pconv_pad11_cat)
+
+    pallas_all = pallas is True
+    pallas_cat = bool(pallas)
+
+    pair = isinstance(x, (tuple, list))
+    if pair and (layout != "a" or len(x) != 2 or not pallas_cat):
+        x = jnp.concatenate(list(x), axis=-1)
+        pair = False
+    x0 = x[0] if pair else x
 
     w = cp["conv"]["kernel"]
     b = cp["conv"].get("bias")
@@ -142,9 +164,9 @@ def _conv_norm_act(x, layout, cp, kernel, stride, feats, a, *,
     nbias = cp["norm"]["bias"] if a["norm_affine"] else None
     eps, slope = a["norm_eps"], a["nonlin_slope"]
 
-    h, wd = _true_hw(x, layout, tw)
+    h, wd = _true_hw(x0, layout, tw)
     strided = stride[1] == 2 and stride[2] == 2
-    otw = tw if tw is not None else (x.shape[3] if layout == "o" else None)
+    otw = tw if tw is not None else (x0.shape[3] if layout == "o" else None)
 
     # The packed dispatch implements exactly two stride shapes:
     # (1,1,1) and (d,2,2) with the D-stride carried by a kd>1 conv. Any
@@ -165,17 +187,20 @@ def _conv_norm_act(x, layout, cp, kernel, stride, feats, a, *,
                              or _packable(kernel, h, wd, feats,
                                           pack_max_channels)):
         if strided and layout != "u":
+            if pair:
+                x = jnp.concatenate(list(x), axis=-1)
+                pair = False
             if layout == "a":
                 wp = pack_conv_weights(w, in_splits=in_splits,
                                        packed_out=False,
                                        aligned_in_strided=True)
                 y = conv_packed(x, wp, b, d_stride=stride[0], hw_pad="pad10")
             else:  # offset
-                if otw is not None and otw != x.shape[3]:
-                    x = x[:, :, :, :otw]   # strip pallas pad columns
                 wp = pack_conv_weights(w, in_splits=in_splits,
                                        packed_out=False)
-                y = conv_packed(x, wp, b, d_stride=stride[0])
+                # widened pallas layout: negative right pad inside the
+                # conv reads only the true columns (no strip copy)
+                y = conv_packed(x, wp, b, d_stride=stride[0], in_w=otw)
             return (_leaky(_instance_norm(y, scale, nbias, eps), slope),
                     "u", None)
 
@@ -185,7 +210,7 @@ def _conv_norm_act(x, layout, cp, kernel, stride, feats, a, *,
             if layout == "u":
                 w4 = pack_conv_weights_from_unpacked(w)
                 out = want_out
-                if out == "o" and pallas:
+                if out == "o" and pallas_all:
                     out_tw = x.shape[3] // 2 + 1
                     y = conv_packing(x, w4, pack_bias(b) if b is not None
                                      else None, offset_out=True,
@@ -198,15 +223,25 @@ def _conv_norm_act(x, layout, cp, kernel, stride, feats, a, *,
                 wp = pack_conv_weights(w, in_splits=in_splits)
                 pb = pack_bias(b) if b is not None else None
                 out = "o"
-                out_tw = x.shape[3] + 1
+                out_tw = x0.shape[3] + 1
                 y = None
-                if pallas and kd == 1:
+                if pair and kd == 1:
+                    bsz, d = x0.shape[0], x0.shape[1]
+                    y4 = pconv_pad11_cat(
+                        x[0].reshape(bsz * d, *x[0].shape[2:]),
+                        x[1].reshape(bsz * d, *x[1].shape[2:]), wp[0], pb)
+                    if y4 is not None:
+                        y = y4.reshape(bsz, d, *y4.shape[1:])
+                if y is None and pair:
+                    x = jnp.concatenate(list(x), axis=-1)
+                    pair = False
+                if y is None and pallas_all and kd == 1:
                     bsz, d = x.shape[0], x.shape[1]
                     y4 = pconv_pad11(
                         x.reshape(bsz * d, *x.shape[2:]), wp[0], pb)
                     if y4 is not None:
                         y = y4.reshape(bsz, d, *y4.shape[1:])
-                if y is None and pallas:
+                if y is None and pallas_all:
                     # kd==3 (or uncovered): XLA conv emitting the widened
                     # layout directly; pad columns hold the bias and the
                     # rim mask below zeroes them
@@ -220,7 +255,7 @@ def _conv_norm_act(x, layout, cp, kernel, stride, feats, a, *,
                 pb = pack_bias(b) if b is not None else None
                 out = "a"
                 y = None
-                if pallas and otw is not None and (otw - 1) % 8 == 0:
+                if pallas_all and otw is not None and (otw - 1) % 8 == 0:
                     if kd == 1:
                         bsz, d = x.shape[0], x.shape[1]
                         y4 = pconv_valid(
@@ -231,9 +266,10 @@ def _conv_norm_act(x, layout, cp, kernel, stride, feats, a, *,
                     else:
                         y = pconv3_valid(x, wp, pb, w_out=otw - 1)
                 if y is None:
-                    if otw is not None and otw != x.shape[3]:
-                        x = x[:, :, :, :otw]
-                    y = conv_packed(x, wp, pb)
+                    # widened pallas layout consumed via negative right
+                    # padding inside the conv (micro A/B site B: +0.23 ms
+                    # vs exact width; a strip copy costs ~1.4 ms)
+                    y = conv_packed(x, wp, pb, in_w=otw)
             if out == "o":
                 y = _mask_offset(y, feats, tw=out_tw)
                 y = instance_norm_packed(y, scale, nbias, eps,
@@ -246,6 +282,8 @@ def _conv_norm_act(x, layout, cp, kernel, stride, feats, a, *,
             return y, out, out_tw
 
     # ---------------- standard path
+    if pair:
+        x = jnp.concatenate(list(x), axis=-1)
     x = _unpack(x, layout, otw)
     y = _conv_std(x, w, b, stride)
     return (_leaky(_instance_norm(y, scale, nbias, eps), slope), "u", None)
@@ -256,7 +294,7 @@ def segmodel_apply_packed(arch: dict, params, x, *, num_classes: int = 2,
                           dual: bool = False, return_skips: bool = False,
                           remat: bool = False, plane_out: bool = False,
                           sr_head_form: str = "auto",
-                          pallas_conv: bool = False):
+                          pallas_conv=False):
     """Forward identical to SegModel.apply (models/segnet.py:176-186) with
     packed high-res stages. Returns lr_logits, (lr_logits, hr_logits) when
     ``dual``, or (lr, hr, skips) when ``return_skips`` (the KD student
@@ -283,6 +321,12 @@ def segmodel_apply_packed(arch: dict, params, x, *, num_classes: int = 2,
     consumes (ops/pallas_tail.py). Costs NOTHING extra on the packed path:
     the final depth_to_space simply runs per class (packed channel order
     is (cell, class), so class c's four cells are ``lg[..., c::C]``).
+
+    pallas_conv: False (default, XLA convs), "cat" (fuse ONLY the decoder
+    skip concat into pconv_pad11_cat — the measured-positive production
+    Pallas configuration), or True (every covered stride-1 class through
+    ops.pallas_pconv — a measured engine-level negative kept for the A/B
+    harness, docs/BENCHMARKS.md round 5).
 
     sr_head_form: which (mathematically identical) emission of the dual SR
     head to use — "auto" (fused upsample/conv1 + z-paired stride-2 conv2,
@@ -396,7 +440,10 @@ def segmodel_apply_packed(arch: dict, params, x, *, num_classes: int = 2,
                     pack_bias(bt_) if bt_ is not None else None)  # ALIGNED
                 skip_p = (skip_in if _skip_layout == "a"
                           else space_to_depth_hw(skip_in))
-                y = jnp.concatenate([up, skip_p], axis=-1)
+                # conv_0 receives the PAIR: _conv_norm_act either fuses
+                # the concat into pconv_pad11_cat (pallas) or
+                # concatenates there (identical XLA fusion either way)
+                y = (up, skip_p)
                 lay = "a"
                 skip_ch = (skip_in.shape[-1] // 4 if _skip_layout == "a"
                            else skip_in.shape[-1])

@@ -468,7 +468,8 @@ _HW_PADS = {
 
 def conv_packed(xp: jnp.ndarray, wp: jnp.ndarray, b, *,
                 d_stride: int = 1, hw_pad: str = "valid",
-                out_w: int | None = None) -> jnp.ndarray:
+                out_w: int | None = None,
+                in_w: int | None = None) -> jnp.ndarray:
     """Packed 2x2-cell conv. xp: (B, D, h', w', 4Ci) packed (offset parity
     for 'valid', aligned parity for 'pad11'/'pad10');
     wp: (kd, 2, 2, 4Ci, Cout'). kd==1 folds D into the batch (2D conv, the
@@ -478,7 +479,13 @@ def conv_packed(xp: jnp.ndarray, wp: jnp.ndarray, b, *,
     out_w ('pad11' only): widen the right pad so the offset output has
     out_w columns (8-aligned pallas_pconv layout); the zero-input pad
     columns hold the bias and MUST be zeroed by the caller's
-    offset_rim_mask(true_w=w'+1)."""
+    offset_rim_mask(true_w=w'+1).
+
+    in_w ('valid' only): the TRUE width of an offset input stored WIDER
+    (the 8-aligned pallas layout) — consumed via NEGATIVE right padding
+    inside the conv, which reads only the true columns. Measured +0.23 ms
+    vs an exact-width input at bench geometry where a strip-copy costs
+    ~1.4 ms (experiments/pconv_cat_probe.py site B)."""
     kd = wp.shape[0]
     hw = _HW_PADS[hw_pad]
     if hw_pad == "pad11" and out_w is not None:
@@ -489,6 +496,9 @@ def conv_packed(xp: jnp.ndarray, wp: jnp.ndarray, b, *,
         # 5x5 original kernel -> (4,4) cell kernel: offset-in aligned-out
         # needs one extra cell of reach on each side
         hw = ((1, 1), (1, 1))
+    if hw_pad == "valid" and in_w is not None and in_w != xp.shape[3]:
+        assert in_w < xp.shape[3], (in_w, xp.shape)
+        hw = (hw[0], (hw[1][0], hw[1][1] + in_w - xp.shape[3]))
     if kd == 1:
         bsz, d, hp, wp_, c = xp.shape
         y = jax.lax.conv_general_dilated(

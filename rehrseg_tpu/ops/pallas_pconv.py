@@ -395,6 +395,245 @@ def pconv_pad11(x, w, b=None, *, interpret=None):
                        bi=bi, interpret=bool(interpret))
 
 
+# ----------------------------------------------------------- PAD11 + CAT
+
+def _pad11_cat_kernel(xa_hbm, xb_hbm, w_ref, b_ref, o_hbm, *,
+                      n_imgs, bi, n_blocks, w_in, wp8_out, ca, cb, c_out):
+    """Fused concat + pad11: conv_packed(concat([xa, xb], -1), w, pad11)
+    without ever materializing the concatenated tensor in HBM. Same loop
+    structure as _pad11_kernel, but each row slab is assembled by TWO
+    DMAs writing side by side into one channel-concatenated VMEM buffer
+    (xa -> lanes [:ca], xb -> lanes [ca:]) — the compute then runs the
+    identical full-K dots as the single-input kernel (a first version
+    with separate buffers and split K=ca / K=cb dots measured 7% slower;
+    lane-sliced DMA destinations at 128-multiples are tile-aligned and
+    cost nothing).
+
+    Production site: the decoder skip concat (models/segnet_packed.py
+    dec_stage) whose pad_maximum_fusion costs 5.2% of the aligned
+    engine's device time (docs/BENCHMARKS.md round-5 op profile).
+    """
+    total = n_imgs * n_blocks
+    h = n_blocks * bi
+    c_in = ca + cb
+
+    def body(xbuf, ybuf, tin, tout, in_sem, out_sem, t_sem):
+        def dmas_first(slot, n):
+            return (pltpu.make_async_copy(
+                        xa_hbm.at[n, pl.ds(0, bi)],
+                        xbuf.at[slot, pl.ds(1, bi), :, pl.ds(0, ca)],
+                        in_sem.at[slot, 0]),
+                    pltpu.make_async_copy(
+                        xb_hbm.at[n, pl.ds(0, bi)],
+                        xbuf.at[slot, pl.ds(1, bi), :, pl.ds(ca, cb)],
+                        in_sem.at[slot, 1]))
+
+        def dmas_rest(slot, n, i):
+            return (pltpu.make_async_copy(
+                        xa_hbm.at[n, pl.ds(i * bi - 1, bi + 1)],
+                        xbuf.at[slot, :, :, pl.ds(0, ca)],
+                        in_sem.at[slot, 0]),
+                    pltpu.make_async_copy(
+                        xb_hbm.at[n, pl.ds(i * bi - 1, bi + 1)],
+                        xbuf.at[slot, :, :, pl.ds(ca, cb)],
+                        in_sem.at[slot, 1]))
+
+        def start_in(slot, blk):
+            n = blk // n_blocks
+            i = blk % n_blocks
+            if n_blocks == 1:
+                for cp in dmas_first(slot, n):
+                    cp.start()
+                return
+
+            @pl.when(i == 0)
+            def _():
+                for cp in dmas_first(slot, n):
+                    cp.start()
+
+            @pl.when(i != 0)
+            def _():
+                for cp in dmas_rest(slot, n, i):
+                    cp.start()
+
+        def wait_in(slot, blk):
+            n = blk // n_blocks
+            i = blk % n_blocks
+            if n_blocks == 1:
+                for cp in dmas_first(slot, n):
+                    cp.wait()
+                return
+
+            @pl.when(i == 0)
+            def _():
+                for cp in dmas_first(slot, n):
+                    cp.wait()
+
+            @pl.when(i != 0)
+            def _():
+                for cp in dmas_rest(slot, n, i):
+                    cp.wait()
+
+        def out_dma(slot, blk):
+            n = blk // n_blocks
+            i = blk % n_blocks
+            return pltpu.make_async_copy(
+                ybuf.at[slot], o_hbm.at[n, pl.ds(i * bi, bi)],
+                out_sem.at[slot])
+
+        start_in(0, 0)
+
+        def loop(blk, _):
+            slot = blk % 2
+            i = blk % n_blocks
+
+            @pl.when(blk + 1 < total)
+            def _():
+                start_in((blk + 1) % 2, blk + 1)
+
+            wait_in(slot, blk)
+
+            @pl.when(i == 0)
+            def _():
+                xbuf[slot, 0] = jnp.zeros((w_in, c_in), xbuf.dtype)
+
+            x = xbuf[slot]                       # (bi+1, w_in, Ca+Cb)
+            a = jnp.zeros((bi, w_in, c_out), jnp.float32)   # t=0: cols 1..w
+            bt = jnp.zeros((bi, w_in, c_out), jnp.float32)  # t=1: cols 0..w-1
+            for s in (0, 1):
+                xs = x[s:s + bi, :, :]
+                a = a + jax.lax.dot_general(
+                    xs, w_ref[s, 0],
+                    dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                bt = bt + jax.lax.dot_general(
+                    xs, w_ref[s, 1],
+                    dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            z1 = jnp.zeros((bi, 1, c_out), jnp.float32)
+            zr = jnp.zeros((bi, wp8_out - w_in - 1, c_out), jnp.float32)
+            acc = (jnp.concatenate([z1, a, zr], axis=1)
+                   + jnp.concatenate([bt, z1, zr], axis=1))
+            col = jax.lax.broadcasted_iota(jnp.int32, (bi, wp8_out, 1), 1)
+            y = (acc + b_ref[0, 0].astype(jnp.float32)) \
+                * (col <= w_in).astype(jnp.float32)
+
+            @pl.when(blk >= 2)
+            def _():
+                out_dma(slot, blk - 2).wait()
+
+            ybuf[slot] = y.astype(ybuf.dtype)
+            out_dma(slot, blk).start()
+            return _
+
+        jax.lax.fori_loop(0, total, loop, None)
+        out_dma((total - 1) % 2, total - 1).wait()
+
+        @pl.when(jnp.asarray(total >= 2))
+        def _():
+            out_dma((total - 2) % 2, total - 2).wait()
+
+        # ---- epilogue: out row h of each image reads input row h-1 only
+        def tail_loop(n, _):
+            cpa = pltpu.make_async_copy(
+                xa_hbm.at[n, pl.ds(h - 1, 1)], tin.at[:, :, pl.ds(0, ca)],
+                t_sem.at[0])
+            cpb = pltpu.make_async_copy(
+                xb_hbm.at[n, pl.ds(h - 1, 1)], tin.at[:, :, pl.ds(ca, cb)],
+                t_sem.at[1])
+            cpa.start()
+            cpb.start()
+            cpa.wait()
+            cpb.wait()
+            z1 = jnp.zeros((1, 1, c_out), jnp.float32)
+            zr = jnp.zeros((1, wp8_out - w_in - 1, c_out), jnp.float32)
+            da = jax.lax.dot_general(
+                tin[:, :, :], w_ref[0, 0],
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            db = jax.lax.dot_general(
+                tin[:, :, :], w_ref[0, 1],
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc = (jnp.concatenate([z1, da, zr], axis=1)
+                   + jnp.concatenate([db, z1, zr], axis=1))
+            col = jax.lax.broadcasted_iota(jnp.int32, (1, wp8_out, 1), 1)
+            tout[:, :, :] = ((acc + b_ref[0, 0].astype(jnp.float32))
+                             * (col <= w_in).astype(jnp.float32)
+                             ).astype(tout.dtype)
+            cp_out = pltpu.make_async_copy(
+                tout, o_hbm.at[n, pl.ds(h, 1)], t_sem.at[0])
+            cp_out.start()
+            cp_out.wait()
+            return _
+
+        jax.lax.fori_loop(0, n_imgs, tail_loop, None)
+
+    pl.run_scoped(
+        body,
+        xbuf=pltpu.VMEM((2, bi + 1, w_in, c_in), xa_hbm.dtype),
+        ybuf=pltpu.VMEM((2, bi, wp8_out, c_out), o_hbm.dtype),
+        tin=pltpu.VMEM((1, w_in, c_in), xa_hbm.dtype),
+        tout=pltpu.VMEM((1, wp8_out, c_out), o_hbm.dtype),
+        in_sem=pltpu.SemaphoreType.DMA((2, 2)),
+        out_sem=pltpu.SemaphoreType.DMA((2,)),
+        t_sem=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("wp8_out", "bi", "interpret"))
+def _pad11_cat_call(xa, xb, w, b, *, wp8_out, bi, interpret=False):
+    n, h, w_in, ca = xa.shape
+    cb = xb.shape[-1]
+    c_out = w.shape[-1]
+    kern = functools.partial(
+        _pad11_cat_kernel, n_imgs=n, bi=bi, n_blocks=h // bi, w_in=w_in,
+        wp8_out=wp8_out, ca=ca, cb=cb, c_out=c_out)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((n, h + 1, wp8_out, c_out), xa.dtype),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        interpret=interpret,
+    )(xa, xb, w, b)
+
+
+def pconv_pad11_cat(xa, xb, w, b=None, *, interpret=None):
+    """Fused concat+pad11: equals pconv_pad11(concat([xa, xb], -1), w, b)
+    — aligned-packed xa (N, h, w, Ca) and xb (N, h, w, Cb), packed
+    weights w (2, 2, Ca+Cb, Co) whose input channels are ordered
+    [xa-packed, xb-packed] (pack_conv_weights with in_splits in that
+    order) -> offset (N, h+1, wp8, Co), wp8 = round_up(w + 1, 8), cols
+    > w exact zeros. The concatenated tensor is never materialized in
+    HBM. Returns None when the shape isn't covered."""
+    n, h, w_in, ca = xa.shape
+    cb = xb.shape[-1]
+    c_out = w.shape[-1]
+    if (xb.shape[:3] != (n, h, w_in) or xa.dtype != xb.dtype
+            or w.shape[2] != ca + cb):
+        return None
+    if w_in % 8 or ca % 128 or cb % 128 or c_out % 128:
+        return None
+    wp8_out = -(-(w_in + 1) // 8) * 8
+    itemsize = 2 if xa.dtype in (jnp.bfloat16, jnp.float16) else 4
+    bi = _pick_bi(h, max(w_in, wp8_out), ca + cb, wp8_out, c_out,
+                  itemsize=itemsize)
+    if bi is None:
+        return None
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    bias = (jnp.zeros((1, 1, c_out), xa.dtype) if b is None
+            else jnp.asarray(b, xa.dtype).reshape(1, 1, -1))
+    return _pad11_cat_call(xa, xb, jnp.asarray(w, xa.dtype), bias,
+                           wp8_out=wp8_out, bi=bi,
+                           interpret=bool(interpret))
+
+
 # ------------------------------------------------------------- kd=3 VALID
 
 def _valid3_kernel(x_hbm, w_ref, b_ref, o_hbm, *, n_b, n_z, bi, n_blocks,

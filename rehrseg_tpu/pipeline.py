@@ -203,14 +203,19 @@ def seg_model_fns(seg_model, packed: bool = True):
             arch = dict(seg_model.arch)
             upscale = seg_model.upscale
 
+            # pallas_conv="cat": fused decoder-concat kernel, eval-only
+            # (no VJP; the training step keeps XLA convs), measured
+            # +2.4-3.2% engine-level (docs/BENCHMARKS.md round-5)
             def lr_fn(p, batch):
                 return segmodel_apply_packed(arch, p, batch,
-                                             pack_max_channels=64)
+                                             pack_max_channels=64,
+                                             pallas_conv="cat")
 
             def dual_fn(p, batch):
                 return segmodel_apply_packed(arch, p, batch,
                                              pack_max_channels=64,
-                                             dual=True, upscale=upscale)
+                                             dual=True, upscale=upscale,
+                                             pallas_conv="cat")
         else:
             def lr_fn(p, batch):
                 return seg_model.apply(p, batch)[0]

@@ -91,7 +91,13 @@ class Segmenter:
                 # channel-last/plane-out) so the aligned path can never
                 # drift out of sync with the parity path
                 def fn(p, batch):
-                    kw = dict(pack_max_channels=64, plane_out=plane_out)
+                    # pallas_conv="cat" fuses the decoder skip concat into
+                    # a Pallas kernel (eval-only: the kernel has no VJP);
+                    # measured +3.2% LR / +2.4% dual engine-level with
+                    # per-class fallbacks, exactness-pinned
+                    # (docs/BENCHMARKS.md round-5 cat section)
+                    kw = dict(pack_max_channels=64, plane_out=plane_out,
+                              pallas_conv="cat")
                     if dual:
                         kw.update(dual=True, upscale=model.upscale)
                     return segmodel_apply_packed(

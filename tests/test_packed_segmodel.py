@@ -300,6 +300,64 @@ def test_packed_pallas_conv_matches_reference(rng):
                                rtol=2e-4, atol=2e-4)
 
 
+def test_packed_pallas_cat_matches_reference(rng):
+    """pallas_conv="cat" fuses ONLY the decoder skip concat into
+    pconv_pad11_cat (never materializing the concatenated tensor); must
+    equal SegModel.apply exactly, and the kernel must actually engage at
+    covered channel counts — not silently fall back."""
+    import rehrseg_tpu.ops.pallas_pconv as pp
+
+    # 32-feature full-res stage -> 128+128 packed lanes (kernel-covered)
+    arch = dict(ARCH_SMALL, features_per_stage=(32, 32, 32, 32))
+    model, params, x = _setup(arch, rng)
+    ref_lr, ref_hr = model.apply(params, x)
+
+    engaged = []
+    orig = pp.pconv_pad11_cat
+
+    def spy(*a, **k):
+        y = orig(*a, **k)
+        engaged.append(y is not None)
+        return y
+
+    pp.pconv_pad11_cat = spy
+    try:
+        got_lr, got_hr = segmodel_apply_packed(
+            arch, params, x, pack_max_channels=64, dual=True, upscale=4,
+            pallas_conv="cat")
+    finally:
+        pp.pconv_pad11_cat = orig
+    assert any(engaged), "cat kernel never engaged (silent fallback)"
+    np.testing.assert_allclose(np.asarray(got_lr), np.asarray(ref_lr),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_hr), np.asarray(ref_hr),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_packed_pallas_cat_uncovered_arch_falls_back(rng):
+    """At channel counts the kernel doesn't cover (8/16 features), "cat"
+    must be a pure no-op vs the XLA packed path."""
+    model, params, x = _setup(ARCH_SMALL, rng)
+    base = segmodel_apply_packed(ARCH_SMALL, params, x,
+                                 pack_max_channels=64)
+    cat = segmodel_apply_packed(ARCH_SMALL, params, x,
+                                pack_max_channels=64, pallas_conv="cat")
+    np.testing.assert_allclose(np.asarray(cat), np.asarray(base),
+                               rtol=0, atol=0)
+
+
+def test_packed_pallas_cat_plane_out(rng):
+    """cat mode + plane_out (the aligned-engine emission)."""
+    arch = dict(ARCH_SMALL, features_per_stage=(32, 32, 32, 32))
+    model, params, x = _setup(arch, rng)
+    base = segmodel_apply_packed(arch, params, x, pack_max_channels=64)
+    planes = segmodel_apply_packed(arch, params, x, pack_max_channels=64,
+                                   plane_out=True, pallas_conv="cat")
+    np.testing.assert_allclose(
+        np.asarray(planes), np.asarray(jnp.moveaxis(base, -1, 1)),
+        rtol=2e-4, atol=2e-4)
+
+
 def test_packed_pallas_conv_plane_out(rng):
     """pallas_conv + plane_out (the aligned-engine emission): per-class
     planes equal the channel-last logits."""

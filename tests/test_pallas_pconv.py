@@ -134,6 +134,68 @@ def test_pconv_pad11_rim_then_mask_roundtrip(rng):
                                np.asarray(want), rtol=2e-5, atol=2e-5)
 
 
+def test_pconv_pad11_cat_matches_concat_conv(rng):
+    """Fused concat+pad11 equals conv_packed on the channel-concatenated
+    tensor with in_splits weights — the decoder-skip production site
+    (models/segnet_packed.py dec_stage, conv_0 on [upsample, skip])."""
+    n, d, h, w, ca_u, cb_u, co = 2, 2, 16, 32, 32, 32, 32
+    up = _mk(rng, (n, d, h, w, ca_u))
+    sk = _mk(rng, (n, d, h, w, cb_u))
+    up_p = space_to_depth_hw(up)              # (n, d, h/2, w/2, 128)
+    sk_p = space_to_depth_hw(sk)
+    w3 = _mk(rng, (1, 3, 3, ca_u + cb_u, co)) * 0.2
+    b = _mk(rng, (co,)) * 0.1
+    wpk = pack_conv_weights(w3, in_splits=[ca_u, cb_u])
+
+    cat = jnp.concatenate([up_p, sk_p], axis=-1)
+    want = conv_packed(cat, wpk, pack_bias(b), hw_pad="pad11")
+
+    from rehrseg_tpu.ops.pallas_pconv import pconv_pad11_cat
+    got = pconv_pad11_cat(
+        up_p.reshape(n * d, *up_p.shape[2:]),
+        sk_p.reshape(n * d, *sk_p.shape[2:]),
+        wpk[0], pack_bias(b), interpret=True)
+    assert got is not None
+    true_wp = want.shape[3]
+    assert got.shape[2] == -(-true_wp // 8) * 8
+    got = got.reshape(n, d, got.shape[1], got.shape[2], -1)
+    np.testing.assert_allclose(np.asarray(got[:, :, :, :true_wp]),
+                               np.asarray(want), rtol=2e-5, atol=2e-5)
+    assert np.all(np.asarray(got[:, :, :, true_wp:]) == 0.0)
+
+
+def test_pconv_pad11_cat_bf16_and_uncovered(rng):
+    """bf16 path, plus the fallback contract: mismatched shapes or
+    non-128-multiple channels return None (caller concatenates)."""
+    from rehrseg_tpu.ops.pallas_pconv import pconv_pad11_cat
+
+    n, d, h, w, ci, co = 1, 2, 8, 16, 32, 32
+    up = _mk(rng, (n, d, h, w, ci), jnp.bfloat16)
+    sk = _mk(rng, (n, d, h, w, ci), jnp.bfloat16)
+    up_p = space_to_depth_hw(up).reshape(n * d, h // 2, w // 2, -1)
+    sk_p = space_to_depth_hw(sk).reshape(n * d, h // 2, w // 2, -1)
+    w3 = _mk(rng, (1, 3, 3, 2 * ci, co), jnp.bfloat16) * 0.2
+    wpk = pack_conv_weights(w3, in_splits=[ci, ci])
+
+    want = conv_packed(
+        jnp.concatenate([up_p, sk_p], -1).reshape(n, d, h // 2, w // 2, -1),
+        wpk, None, hw_pad="pad11")
+    got = pconv_pad11_cat(up_p, sk_p, wpk[0], None, interpret=True)
+    assert got is not None and got.dtype == jnp.bfloat16
+    true_wp = want.shape[3]
+    got = got.reshape(n, d, got.shape[1], got.shape[2], -1)
+    np.testing.assert_allclose(
+        np.asarray(got[:, :, :, :true_wp], np.float32),
+        np.asarray(want, np.float32), rtol=0.04, atol=0.04)
+
+    # uncovered: spatial mismatch between the two inputs
+    assert pconv_pad11_cat(up_p, sk_p[:, :-1], wpk[0], None,
+                           interpret=True) is None
+    # uncovered: packed channels not a multiple of 128
+    assert pconv_pad11_cat(up_p[..., :64], sk_p, wpk[0][:, :, :192],
+                           None, interpret=True) is None
+
+
 def test_pconv3_valid_matches_conv_packed(rng):
     """kd=3 (3,2,2) VALID with z-SAME: equals the XLA 5D packed conv on
     the true wp columns; exercises z edges (zero taps), the rotating
