@@ -586,3 +586,101 @@ def instance_norm_packed(xp: jnp.ndarray, scale, bias,
     if scale is not None:
         y = y * jnp.tile(scale, 4) + jnp.tile(bias, 4)
     return y
+
+
+# ------------------------------------------- deferred (fused) instance norm
+#
+# The fused-norm engine path (pallas_conv="fused",
+# models/segnet_packed.py) never runs instance norm as standalone passes
+# over the big activation: conv kernels EMIT per-image moment sums
+# (ops/pallas_pconv.py `want_stats`, or `offset_stats_xla` below for
+# XLA-emitted offset tensors), this glue turns them into a per-image
+# scale/shift pair, and the CONSUMING conv kernel applies
+# `leaky(x * sA + tA) * rim_mask` on its VMEM slab right after the DMA —
+# the normalize pass's HBM read+write disappears entirely between Pallas
+# producer/consumer pairs. Stats layout everywhere: (N, 16, C) fp32 with
+# rows 0:8 = partial sums, 8:16 = partial sums of squares (8 sublane
+# partials so kernels never cross-sublane-reduce; finalize sums them).
+
+
+def norm_scale_shift_from_stats(stats: jnp.ndarray, b: int, d: int,
+                                count: int, scale, bias,
+                                epsilon: float, dtype) -> tuple:
+    """(B*D, 16, C4) moment partials -> per-image (B*D, 8, C4) scale and
+    shift in `dtype` such that `x * sA + tA` equals
+    instance_norm_packed(x, scale, bias, eps) followed by nothing — i.e.
+    sA = k*gamma4, tA = beta4 - m1*k*gamma4 with the same group-averaged
+    fp32 moments (variance via E[x^2]-E[x]^2) as instance_norm_packed.
+    The 8 identical sublane rows let a Pallas consumer read stats[n] as
+    one tile-aligned (8, C4) slab."""
+    c4 = stats.shape[-1]
+    c = c4 // 4
+    s = stats[:, 0:8].sum(axis=1).reshape(b, d, c4).sum(axis=1)
+    q = stats[:, 8:16].sum(axis=1).reshape(b, d, c4).sum(axis=1)
+
+    def group_mean(t):
+        return jnp.tile(jnp.mean(t.reshape(b, 4, c), axis=1), (1, 4))
+
+    m1 = group_mean(s / count)
+    m2 = group_mean(q / count)
+    k = jax.lax.rsqrt(m2 - jnp.square(m1) + epsilon)
+    if scale is not None:
+        g4 = jnp.tile(scale, 4).astype(jnp.float32)
+        b4 = jnp.tile(bias, 4).astype(jnp.float32)
+    else:
+        g4 = jnp.float32(1.0)
+        b4 = jnp.float32(0.0)
+    sa = (k * g4).astype(dtype)
+    ta = (b4 - m1 * k * g4).astype(dtype)
+    rep = lambda t: jnp.broadcast_to(t[:, None, None, :],
+                                     (b, d, 8, c4)).reshape(b * d, 8, c4)
+    return rep(sa), rep(ta)
+
+
+def offset_stats_xla(y: jnp.ndarray, true_w: int | None = None):
+    """Masked moment partials of an XLA-emitted offset tensor
+    y (B, D, hp, wp, C4) -> (B*D, 16, C4) fp32, matching the kernels'
+    `want_stats` output (one HBM read — the same cost as the stats
+    reduction instance_norm_packed would do; the win is that the APPLY
+    then fuses into the consuming Pallas conv instead of its own
+    read+write pass). The rim mask is fused into the reduction, so the
+    producer conv's output never needs a materialized mask pass."""
+    bsz, d, hp, wp, c4 = y.shape
+    m = offset_rim_mask(hp, wp, c4 // 4, jnp.float32, true_w=true_w)
+    y32 = y.astype(jnp.float32) * m
+    s = jnp.sum(y32, axis=(2, 3))                       # (B, D, C4)
+    q = jnp.sum(jnp.square(y32), axis=(2, 3))
+    z = jnp.zeros((bsz * d, 7, c4), jnp.float32)
+    return jnp.concatenate(
+        [s.reshape(bsz * d, 1, c4), z, q.reshape(bsz * d, 1, c4), z],
+        axis=1)
+
+
+def aligned_stats_xla(y: jnp.ndarray):
+    """Moment partials of an XLA-emitted aligned tensor
+    y (B, D, h, w, C4) -> (B*D, 16, C4) fp32 (no rim on aligned parity)."""
+    bsz, d, h, w, c4 = y.shape
+    y32 = y.astype(jnp.float32)
+    s = jnp.sum(y32, axis=(2, 3))
+    q = jnp.sum(jnp.square(y32), axis=(2, 3))
+    z = jnp.zeros((bsz * d, 7, c4), jnp.float32)
+    return jnp.concatenate(
+        [s.reshape(bsz * d, 1, c4), z, q.reshape(bsz * d, 1, c4), z],
+        axis=1)
+
+
+def apply_norm_act_packed(y: jnp.ndarray, sa: jnp.ndarray, ta: jnp.ndarray,
+                          slope: float, offset_parity: bool = False,
+                          true_w: int | None = None) -> jnp.ndarray:
+    """Materialize a deferred norm: leaky(y*sA + tA) [* rim_mask] as ONE
+    XLA pass — used when a deferred tensor's consumer is not a Pallas
+    kernel (stage outputs, heads, strided convs). y: (B, D, hp, wp, C4);
+    sa/ta: (B*D, 8, C4) from norm_scale_shift_from_stats."""
+    bsz, d, hp, wp, c4 = y.shape
+    sab = sa[:, 0, :].reshape(bsz, d, 1, 1, c4).astype(y.dtype)
+    tab = ta[:, 0, :].reshape(bsz, d, 1, 1, c4).astype(y.dtype)
+    z = y * sab + tab
+    z = jnp.where(z >= 0, z, z * jnp.asarray(slope, z.dtype))
+    if offset_parity:
+        z = z * offset_rim_mask(hp, wp, c4 // 4, z.dtype, true_w=true_w)
+    return z

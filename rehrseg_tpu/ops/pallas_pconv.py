@@ -145,6 +145,131 @@ def _valid_kernel(x_hbm, w_ref, b_ref, o_hbm, *, n_imgs, bi, n_blocks,
     )
 
 
+def _valid_fused_kernel(x_hbm, w_ref, b_ref, *rest, n_imgs, bi, n_blocks,
+                        w_out, c_out, pre, want_stats, slope=0.0,
+                        wide=False):
+    """offset (N, hp, wp8, Ci) -> aligned (N, hp-1, w_out, Co), the
+    deferred-norm (pallas_conv="fused") form of _valid_kernel.
+
+    pre: the producer deferred its instance norm — the slab gets
+    `rim_mask * leaky(x * sA + tA)` applied in VMEM right after the DMA
+    (sA/tA per image from pack2d.norm_scale_shift_from_stats), so the
+    normalize pass's HBM read+write never happens. The rim mask runs
+    here regardless of who produced x (an XLA conv's raw offset output
+    has garbage rim).
+
+    want_stats: emit (N, 16, Co) fp32 moment partials of the stored
+    aligned output (no rim on aligned parity).
+
+    wide: one dot per row-tap s with doubled-N weights
+    [W[s,0] | W[s,1]] over the full slab width, column taps combined by
+    a single shifted f32 add (the experiments/pconv_valid_tune.py
+    structure probe)."""
+    k = 0
+    if pre:
+        sa_ref, ta_ref = rest[0], rest[1]
+        k = 2
+    o_hbm = rest[k]
+    stats_ref = rest[k + 1] if want_stats else None
+    total = n_imgs * n_blocks
+    hp_in = n_blocks * bi + 1
+    tw_in = w_out + 1
+
+    def body(xbuf, ybuf, in_sem, out_sem):
+        def in_dma(slot, blk):
+            n = blk // n_blocks
+            i = blk % n_blocks
+            return pltpu.make_async_copy(
+                x_hbm.at[n, pl.ds(i * bi, bi + 1)], xbuf.at[slot],
+                in_sem.at[slot])
+
+        def out_dma(slot, blk):
+            n = blk // n_blocks
+            i = blk % n_blocks
+            return pltpu.make_async_copy(
+                ybuf.at[slot], o_hbm.at[n, pl.ds(i * bi, bi)],
+                out_sem.at[slot])
+
+        in_dma(0, 0).start()
+
+        def loop(blk, _):
+            slot = blk % 2
+            n = blk // n_blocks
+            i = blk % n_blocks
+
+            @pl.when(blk + 1 < total)
+            def _():
+                in_dma((blk + 1) % 2, blk + 1).start()
+
+            in_dma(slot, blk).wait()
+            x = xbuf[slot]                       # (bi+1, wp8, Ci)
+            wp8, c_in = x.shape[1], x.shape[2]
+            if pre:
+                sa = sa_ref[pl.ds(n, 1), 0].reshape(1, 1, c_in)
+                ta = ta_ref[pl.ds(n, 1), 0].reshape(1, 1, c_in)
+                x = x * sa + ta
+                x = jnp.where(x >= 0, x, x * jnp.asarray(slope, x.dtype))
+                x = x * _offset_mask(i * bi, bi + 1, hp_in, tw_in, wp8,
+                                     c_in, x.dtype)
+            if wide:
+                p = jnp.zeros((bi, wp8, 2 * c_out), jnp.float32)
+                for s in (0, 1):
+                    p = p + jax.lax.dot_general(
+                        x[s:s + bi, :, :], w_ref[s],
+                        dimension_numbers=(((2,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                acc = p[:, :w_out, :c_out] + p[:, 1:w_out + 1, c_out:]
+            else:
+                acc = jnp.zeros((bi, w_out, c_out), jnp.float32)
+                for s in (0, 1):
+                    for t in (0, 1):
+                        xs = x[s:s + bi, t:t + w_out, :]
+                        acc = acc + jax.lax.dot_general(
+                            xs, w_ref[s, t],
+                            dimension_numbers=(((2,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+            y = acc + b_ref[0, 0].astype(jnp.float32)
+
+            @pl.when(blk >= 2)
+            def _():
+                out_dma(slot, blk - 2).wait()
+
+            ybf = y.astype(ybuf.dtype)
+            ybuf[slot] = ybf
+            out_dma(slot, blk).start()
+            if want_stats:
+                y32 = ybf.astype(jnp.float32)
+                st = jnp.concatenate(
+                    [_fold8(y32.sum(axis=1), bi),
+                     _fold8((y32 * y32).sum(axis=1), bi)], axis=0)
+
+                @pl.when(i == 0)
+                def _():
+                    stats_ref[pl.ds(n, 1)] = st[None]
+
+                @pl.when(i != 0)
+                def _():
+                    stats_ref[pl.ds(n, 1)] = stats_ref[pl.ds(n, 1)] \
+                        + st[None]
+            return _
+
+        jax.lax.fori_loop(0, total, loop, None)
+        out_dma((total - 1) % 2, total - 1).wait()
+
+        @pl.when(jnp.asarray(total >= 2))
+        def _():
+            out_dma((total - 2) % 2, total - 2).wait()
+
+    wp8, c_in = x_hbm.shape[2], x_hbm.shape[3]
+    pl.run_scoped(
+        body,
+        xbuf=pltpu.VMEM((2, bi + 1, wp8, c_in), x_hbm.dtype),
+        ybuf=pltpu.VMEM((2, bi, w_out, c_out), o_hbm.dtype),
+        in_sem=pltpu.SemaphoreType.DMA((2,)),
+        out_sem=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
 # --------------------------------------------------------------- PAD11
 
 def _pad11_kernel(x_hbm, w_ref, b_ref, o_hbm, *, n_imgs, bi, n_blocks,
@@ -348,13 +473,70 @@ def _pad11_call(x, w, b, *, wp8_out, bi, interpret=False):
     )(x, w, b)
 
 
-def pconv_valid(x, w, b=None, *, w_out=None, interpret=None):
+_FUSED_VMEM_BUDGET = 24 * 1024 * 1024
+
+
+def _pick_bi_fused(h, wp8, c_in, w_out, c_out, itemsize, wide):
+    for bi in (32, 16, 8, 4, 2):
+        slab = 2 * (bi + 1) * wp8 * c_in * itemsize
+        wts = 4 * c_in * c_out * itemsize
+        acc = (bi * wp8 * 2 * c_out * 4 if wide
+               else bi * w_out * c_out * 4)
+        ybuf = 2 * bi * w_out * c_out * itemsize
+        if h % bi == 0 and (slab + wts + acc + ybuf) < _FUSED_VMEM_BUDGET:
+            return bi
+    return None
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "w_out", "bi", "interpret", "want_stats", "slope", "wide", "has_pre"))
+def _valid_fused_call(x, w, b, sa, ta, *, w_out, bi, interpret,
+                      want_stats, slope, wide, has_pre):
+    n, hp, wp8, c_in = x.shape
+    c_out = w.shape[-1] // (2 if wide else 1)
+    kern = functools.partial(
+        _valid_fused_kernel, n_imgs=n, bi=bi, n_blocks=(hp - 1) // bi,
+        w_out=w_out, c_out=c_out, pre=has_pre, want_stats=want_stats,
+        slope=slope, wide=wide)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    args = (x, w, b)
+    if has_pre:
+        in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM),
+                     pl.BlockSpec(memory_space=pltpu.VMEM)]
+        args += (sa, ta)
+    out_shape = jax.ShapeDtypeStruct((n, hp - 1, w_out, c_out), x.dtype)
+    out_specs = pl.BlockSpec(memory_space=pltpu.ANY)
+    if want_stats:
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((n, 16, c_out), jnp.float32))
+        out_specs = (out_specs, pl.BlockSpec(memory_space=pltpu.VMEM))
+    return pl.pallas_call(
+        kern, out_shape=out_shape, in_specs=in_specs,
+        out_specs=out_specs, interpret=interpret)(*args)
+
+
+def pconv_valid(x, w, b=None, *, w_out=None, interpret=None, pre=None,
+                want_stats=False, wide=False):
     """Offset-packed x (N, hp, wp8, 4Ci), wp8 % 8 == 0 (pad columns zero /
     ignored), packed weights w (2, 2, 4Ci, Co) -> aligned
     (N, hp-1, w_out, Co) with bias folded. Equals
     conv_packed(x_true, w, b, hw_pad="valid") on the true wp = w_out + 1
     leading columns. Returns None when the shape isn't covered (caller
-    falls back to the XLA conv)."""
+    falls back to the XLA conv).
+
+    Deferred-norm extensions (pallas_conv="fused",
+    models/segnet_packed.py):
+    - pre=(sa, ta, slope): x is a RAW offset conv output whose instance
+      norm was deferred — the kernel applies
+      rim_mask * leaky(x * sa + ta) on each VMEM slab after the DMA
+      (sa/ta: (N, 8, 4Ci) from pack2d.norm_scale_shift_from_stats).
+    - want_stats: also return (N, 16, Co) fp32 moment partials of the
+      aligned output -> returns (y, stats).
+    - wide: the doubled-N dot structure (see _valid_fused_kernel)."""
     n, hp, wp8, c_in = x.shape
     c_out = w.shape[-1]
     if w_out is None:
@@ -362,15 +544,36 @@ def pconv_valid(x, w, b=None, *, w_out=None, interpret=None):
     if (wp8 % 8 or w_out % 8 or w_out + 1 > wp8 or c_in % 128
             or c_out % 128):
         return None
-    bi = _pick_bi(hp - 1, wp8, c_in, w_out, c_out)
-    if bi is None:
-        return None
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     bias = (jnp.zeros((1, 1, c_out), x.dtype) if b is None
             else jnp.asarray(b, x.dtype).reshape(1, 1, -1))
-    return _valid_call(x, jnp.asarray(w, x.dtype), bias, w_out=w_out,
-                       bi=bi, interpret=bool(interpret))
+    if pre is None and not want_stats and not wide:
+        bi = _pick_bi(hp - 1, wp8, c_in, w_out, c_out)
+        if bi is None:
+            return None
+        return _valid_call(x, jnp.asarray(w, x.dtype), bias, w_out=w_out,
+                           bi=bi, interpret=bool(interpret))
+    itemsize = 2 if x.dtype in (jnp.bfloat16, jnp.float16) else 4
+    bi = _pick_bi_fused(hp - 1, wp8, c_in, w_out, c_out, itemsize, wide)
+    if bi is None:
+        return None
+    wk = jnp.asarray(w, x.dtype)
+    if wide:
+        wk = jnp.concatenate([wk[:, 0], wk[:, 1]], axis=-1)  # (2, Ci, 2Co)
+    if pre is not None:
+        sa, ta, slope = pre
+        sa = jnp.asarray(sa, x.dtype)
+        ta = jnp.asarray(ta, x.dtype)
+        has_pre = True
+    else:
+        sa = ta = jnp.zeros((1, 8, c_in), x.dtype)
+        slope = 0.0
+        has_pre = False
+    return _valid_fused_call(x, wk, bias, sa, ta, w_out=w_out, bi=bi,
+                             interpret=bool(interpret),
+                             want_stats=want_stats, slope=float(slope),
+                             wide=wide, has_pre=has_pre)
 
 
 def pconv_pad11(x, w, b=None, *, interpret=None):
@@ -397,8 +600,33 @@ def pconv_pad11(x, w, b=None, *, interpret=None):
 
 # ----------------------------------------------------------- PAD11 + CAT
 
-def _pad11_cat_kernel(xa_hbm, xb_hbm, w_ref, b_ref, o_hbm, *,
-                      n_imgs, bi, n_blocks, w_in, wp8_out, ca, cb, c_out):
+def _fold8(t, rows):
+    """(rows, c) fp32 -> (8, c) sublane partials (rows static)."""
+    if rows >= 8:
+        return t.reshape(rows // 8, 8, t.shape[-1]).sum(0)
+    return jnp.concatenate(
+        [t, jnp.zeros((8 - rows, t.shape[-1]), t.dtype)], axis=0)
+
+
+def _offset_mask(r0, rows, hp, tw, wp8, c_out, dtype=jnp.float32):
+    """In-kernel offset rim mask for rows r0..r0+rows-1 of an
+    offset-parity tensor — the exact ops/pack2d.py offset_rim_mask
+    predicate (rows/cols/lane-groups), so a fused kernel's output (or
+    normalized input) never needs a materialized mask pass."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows, wp8, c_out), 0) + r0
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, wp8, c_out), 1)
+    g = jax.lax.broadcasted_iota(jnp.int32, (rows, wp8, c_out), 2) \
+        // (c_out // 4)
+    dy, dx = g // 2, g % 2
+    ok = (((row > 0) | (dy == 1)) & ((row < hp - 1) | (dy == 0))
+          & ((col > 0) | (dx == 1)) & ((col < tw - 1) | (dx == 0))
+          & (col < tw))
+    return ok.astype(dtype)
+
+
+def _pad11_cat_kernel(xa_hbm, xb_hbm, w_ref, b_ref, o_hbm, *maybe_stats,
+                      n_imgs, bi, n_blocks, w_in, wp8_out, ca, cb, c_out,
+                      fused=False):
     """Fused concat + pad11: conv_packed(concat([xa, xb], -1), w, pad11)
     without ever materializing the concatenated tensor in HBM. Same loop
     structure as _pad11_kernel, but each row slab is assembled by TWO
@@ -412,7 +640,13 @@ def _pad11_cat_kernel(xa_hbm, xb_hbm, w_ref, b_ref, o_hbm, *,
     Production site: the decoder skip concat (models/segnet_packed.py
     dec_stage) whose pad_maximum_fusion costs 5.2% of the aligned
     engine's device time (docs/BENCHMARKS.md round-5 op profile).
-    """
+
+    fused (the pallas_conv="fused" engine): the output additionally gets
+    the FULL offset rim mask in-kernel (no _mask_offset pass downstream)
+    and per-image moment partials of the stored value accumulate into a
+    second (N, 16, Co) fp32 VMEM output — rows 0:8 sum, 8:16 sum of
+    squares (see pack2d.norm_scale_shift_from_stats)."""
+    stats_ref = maybe_stats[0] if maybe_stats else None
     total = n_imgs * n_blocks
     h = n_blocks * bi
     c_in = ca + cb
@@ -485,6 +719,7 @@ def _pad11_cat_kernel(xa_hbm, xb_hbm, w_ref, b_ref, o_hbm, *,
 
         def loop(blk, _):
             slot = blk % 2
+            n = blk // n_blocks
             i = blk % n_blocks
 
             @pl.when(blk + 1 < total)
@@ -514,16 +749,36 @@ def _pad11_cat_kernel(xa_hbm, xb_hbm, w_ref, b_ref, o_hbm, *,
             zr = jnp.zeros((bi, wp8_out - w_in - 1, c_out), jnp.float32)
             acc = (jnp.concatenate([z1, a, zr], axis=1)
                    + jnp.concatenate([bt, z1, zr], axis=1))
-            col = jax.lax.broadcasted_iota(jnp.int32, (bi, wp8_out, 1), 1)
-            y = (acc + b_ref[0, 0].astype(jnp.float32)) \
-                * (col <= w_in).astype(jnp.float32)
+            yb = acc + b_ref[0, 0].astype(jnp.float32)
+            if fused:
+                yb = yb * _offset_mask(i * bi, bi, h + 1, w_in + 1,
+                                       wp8_out, c_out)
+            else:
+                col = jax.lax.broadcasted_iota(
+                    jnp.int32, (bi, wp8_out, 1), 1)
+                yb = yb * (col <= w_in).astype(jnp.float32)
 
             @pl.when(blk >= 2)
             def _():
                 out_dma(slot, blk - 2).wait()
 
-            ybuf[slot] = y.astype(ybuf.dtype)
+            ybf = yb.astype(ybuf.dtype)
+            ybuf[slot] = ybf
             out_dma(slot, blk).start()
+            if fused:
+                y32 = ybf.astype(jnp.float32)
+                st = jnp.concatenate(
+                    [_fold8(y32.sum(axis=1), bi),
+                     _fold8((y32 * y32).sum(axis=1), bi)], axis=0)
+
+                @pl.when(i == 0)
+                def _():
+                    stats_ref[pl.ds(n, 1)] = st[None]
+
+                @pl.when(i != 0)
+                def _():
+                    stats_ref[pl.ds(n, 1)] = stats_ref[pl.ds(n, 1)] \
+                        + st[None]
             return _
 
         jax.lax.fori_loop(0, total, loop, None)
@@ -557,10 +812,22 @@ def _pad11_cat_kernel(xa_hbm, xb_hbm, w_ref, b_ref, o_hbm, *,
                 preferred_element_type=jnp.float32)
             acc = (jnp.concatenate([z1, da, zr], axis=1)
                    + jnp.concatenate([db, z1, zr], axis=1))
-            col = jax.lax.broadcasted_iota(jnp.int32, (1, wp8_out, 1), 1)
-            tout[:, :, :] = ((acc + b_ref[0, 0].astype(jnp.float32))
-                             * (col <= w_in).astype(jnp.float32)
-                             ).astype(tout.dtype)
+            yb = acc + b_ref[0, 0].astype(jnp.float32)
+            if fused:
+                yb = yb * _offset_mask(h, 1, h + 1, w_in + 1,
+                                       wp8_out, c_out)
+            else:
+                col = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, wp8_out, 1), 1)
+                yb = yb * (col <= w_in).astype(jnp.float32)
+            ybf = yb.astype(tout.dtype)
+            tout[:, :, :] = ybf
+            if fused:
+                y32 = ybf.astype(jnp.float32)
+                st = jnp.concatenate(
+                    [_fold8(y32.sum(axis=1), 1),
+                     _fold8((y32 * y32).sum(axis=1), 1)], axis=0)
+                stats_ref[pl.ds(n, 1)] = stats_ref[pl.ds(n, 1)] + st[None]
             cp_out = pltpu.make_async_copy(
                 tout, o_hbm.at[n, pl.ds(h, 1)], t_sem.at[0])
             cp_out.start()
@@ -581,36 +848,51 @@ def _pad11_cat_kernel(xa_hbm, xb_hbm, w_ref, b_ref, o_hbm, *,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("wp8_out", "bi", "interpret"))
-def _pad11_cat_call(xa, xb, w, b, *, wp8_out, bi, interpret=False):
+@functools.partial(jax.jit, static_argnames=("wp8_out", "bi", "interpret",
+                                             "want_stats"))
+def _pad11_cat_call(xa, xb, w, b, *, wp8_out, bi, interpret=False,
+                    want_stats=False):
     n, h, w_in, ca = xa.shape
     cb = xb.shape[-1]
     c_out = w.shape[-1]
     kern = functools.partial(
         _pad11_cat_kernel, n_imgs=n, bi=bi, n_blocks=h // bi, w_in=w_in,
-        wp8_out=wp8_out, ca=ca, cb=cb, c_out=c_out)
+        wp8_out=wp8_out, ca=ca, cb=cb, c_out=c_out, fused=want_stats)
+    out_shape = jax.ShapeDtypeStruct((n, h + 1, wp8_out, c_out), xa.dtype)
+    out_specs = pl.BlockSpec(memory_space=pltpu.ANY)
+    if want_stats:
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((n, 16, c_out), jnp.float32))
+        out_specs = (out_specs, pl.BlockSpec(memory_space=pltpu.VMEM))
     return pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((n, h + 1, wp8_out, c_out), xa.dtype),
+        out_shape=out_shape,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=out_specs,
         interpret=interpret,
     )(xa, xb, w, b)
 
 
-def pconv_pad11_cat(xa, xb, w, b=None, *, interpret=None):
+def pconv_pad11_cat(xa, xb, w, b=None, *, interpret=None,
+                    want_stats=False):
     """Fused concat+pad11: equals pconv_pad11(concat([xa, xb], -1), w, b)
     — aligned-packed xa (N, h, w, Ca) and xb (N, h, w, Cb), packed
     weights w (2, 2, Ca+Cb, Co) whose input channels are ordered
     [xa-packed, xb-packed] (pack_conv_weights with in_splits in that
     order) -> offset (N, h+1, wp8, Co), wp8 = round_up(w + 1, 8), cols
     > w exact zeros. The concatenated tensor is never materialized in
-    HBM. Returns None when the shape isn't covered."""
+    HBM. Returns None when the shape isn't covered.
+
+    want_stats: additionally rim-mask the output IN-KERNEL (equals
+    _mask_offset of the plain output — no downstream mask pass needed)
+    and return (y, stats) with stats (N, 16, Co) fp32 moment partials of
+    the stored value (pack2d.norm_scale_shift_from_stats finalizes) —
+    the pallas_conv="fused" producer contract."""
     n, h, w_in, ca = xa.shape
     cb = xb.shape[-1]
     c_out = w.shape[-1]
@@ -631,13 +913,15 @@ def pconv_pad11_cat(xa, xb, w, b=None, *, interpret=None):
             else jnp.asarray(b, xa.dtype).reshape(1, 1, -1))
     return _pad11_cat_call(xa, xb, jnp.asarray(w, xa.dtype), bias,
                            wp8_out=wp8_out, bi=bi,
-                           interpret=bool(interpret))
+                           interpret=bool(interpret),
+                           want_stats=want_stats)
 
 
 # ------------------------------------------------------------- kd=3 VALID
 
-def _valid3_kernel(x_hbm, w_ref, b_ref, o_hbm, *, n_b, n_z, bi, n_blocks,
-                   w_out, c_out, co_tile):
+def _valid3_kernel(x_hbm, w_ref, b_ref, *rest, n_b, n_z, bi, n_blocks,
+                   w_out, c_out, co_tile, pre=False, want_stats=False,
+                   slope=0.0):
     """offset (B, D, hp, wp8, Ci) -> aligned (B, D, hp-1, w_out, Co) with
     SAME z-padding: out[z] = sum_{u in -1,0,1} sum_{s,t}
     x[z+u, r+s, c+t] @ W[u+1, s, t].
@@ -648,9 +932,23 @@ def _valid3_kernel(x_hbm, w_ref, b_ref, o_hbm, *, n_b, n_z, bi, n_blocks,
     multiply by a 0/1 scalar (the slot then holds stale-but-finite data;
     slot 3 is memset once for the very first segment). Co is tiled so the
     fp32 accumulator fits VMEM at 512x512 lanes.
+
+    pre / want_stats: the deferred-norm contract (_valid_fused_kernel
+    docstring) — each slab gets rim_mask * leaky(x*sa + ta) IN PLACE
+    right after its (single) DMA wait (sa/ta here are per-BATCH (B, 8,
+    Ci): instance norm spans the z axis); moment partials of the stored
+    aligned output accumulate per (b, z) image into (B*D, 16, Co).
     """
+    k = 0
+    if pre:
+        sa_ref, ta_ref = rest[0], rest[1]
+        k = 2
+    o_hbm = rest[k]
+    stats_ref = rest[k + 1] if want_stats else None
     n_seg = n_b * n_blocks
     n_co = c_out // co_tile
+    hp_in = n_blocks * bi + 1
+    tw_in = w_out + 1
 
     def body(xbuf, ybuf, in_sem, out_sem):
         def fetch(slot, b, z, blk):
@@ -662,6 +960,18 @@ def _valid3_kernel(x_hbm, w_ref, b_ref, o_hbm, *, n_b, n_z, bi, n_blocks,
             return pltpu.make_async_copy(
                 ybuf.at[slot], o_hbm.at[b, z, pl.ds(blk * bi, bi)],
                 out_sem.at[slot])
+
+        def transform(slot, b, blk):
+            if not pre:
+                return
+            x = xbuf[slot]                        # (bi+1, wp8, Ci)
+            wp8, c_in = x.shape[1], x.shape[2]
+            sa = sa_ref[pl.ds(b, 1), 0].reshape(1, 1, c_in)
+            ta = ta_ref[pl.ds(b, 1), 0].reshape(1, 1, c_in)
+            x = x * sa + ta
+            x = jnp.where(x >= 0, x, x * jnp.asarray(slope, x.dtype))
+            xbuf[slot] = x * _offset_mask(blk * bi, bi + 1, hp_in, tw_in,
+                                          wp8, c_in, x.dtype)
 
         # slots that a short-D segment may read before any fetch writes
         # them (z-1 tap at z=0 is slot 3; D<=2 never fetches slots 1/2):
@@ -687,15 +997,23 @@ def _valid3_kernel(x_hbm, w_ref, b_ref, o_hbm, *, n_b, n_z, bi, n_blocks,
                 @pl.when(z == 0)
                 def _():
                     fetch(0, b, 0, blk).wait()
+                    transform(0, b, blk)
 
                 @pl.when((z + 1 < n_z) & (z + 1 >= 1))
                 def _():
                     fetch((z + 1) % 4, b, z + 1, blk).wait()
+                    transform((z + 1) % 4, b, blk)
 
                 prev_ok = (z > 0).astype(jnp.float32)
                 next_ok = (z + 1 < n_z).astype(jnp.float32)
                 slabs = [xbuf[(z - 1) % 4], xbuf[z % 4], xbuf[(z + 1) % 4]]
                 gates = [prev_ok, jnp.float32(1.0), next_ok]
+
+                # the ybuf slot may still drain from 2 z-steps ago — wait
+                # BEFORE overwriting it below
+                @pl.when(z >= 2)
+                def _():
+                    out_dma(z % 2, b, z - 2, blk).wait()
 
                 for ct in range(n_co):
                     acc = jnp.zeros((bi, w_out, co_tile), jnp.float32)
@@ -715,13 +1033,24 @@ def _valid3_kernel(x_hbm, w_ref, b_ref, o_hbm, *, n_b, n_z, bi, n_blocks,
                                 acc = acc + d * g
                     bslice = b_ref[0, 0, ct * co_tile:(ct + 1) * co_tile]
                     y = acc + bslice.astype(jnp.float32)
-                    ybuf[z % 2, :, :, ct * co_tile:(ct + 1) * co_tile] = \
-                        y.astype(ybuf.dtype)
+                    ybf = y.astype(ybuf.dtype)
+                    ybuf[z % 2, :, :, ct * co_tile:(ct + 1) * co_tile] = ybf
+                    if want_stats:
+                        y32 = ybf.astype(jnp.float32)
+                        st = jnp.concatenate(
+                            [_fold8(y32.sum(axis=1), bi),
+                             _fold8((y32 * y32).sum(axis=1), bi)], axis=0)
+                        img = b * n_z + z
+                        lo, hi = ct * co_tile, (ct + 1) * co_tile
 
-                # ybuf slot may still drain from 2 z-steps ago
-                @pl.when(z >= 2)
-                def _():
-                    out_dma(z % 2, b, z - 2, blk).wait()
+                        @pl.when(blk == 0)
+                        def _(st=st, lo=lo, hi=hi, img=img):
+                            stats_ref[pl.ds(img, 1), :, lo:hi] = st[None]
+
+                        @pl.when(blk != 0)
+                        def _(st=st, lo=lo, hi=hi, img=img):
+                            stats_ref[pl.ds(img, 1), :, lo:hi] = \
+                                stats_ref[pl.ds(img, 1), :, lo:hi] + st[None]
 
                 out_dma(z % 2, b, z, blk).start()
                 return _
@@ -748,35 +1077,51 @@ def _valid3_kernel(x_hbm, w_ref, b_ref, o_hbm, *, n_b, n_z, bi, n_blocks,
 
 
 @functools.partial(jax.jit, static_argnames=("w_out", "bi", "co_tile",
-                                             "interpret"))
-def _valid3_call(x, w, b, *, w_out, bi, co_tile, interpret=False):
+                                             "interpret", "want_stats",
+                                             "slope", "has_pre"))
+def _valid3_call(x, w, b, sa, ta, *, w_out, bi, co_tile, interpret=False,
+                 want_stats=False, slope=0.0, has_pre=False):
     n_b, n_z, hp, wp8, c_in = x.shape
     c_out = w.shape[-1]
     h = hp - 1
     kern = functools.partial(
         _valid3_kernel, n_b=n_b, n_z=n_z, bi=bi, n_blocks=h // bi,
-        w_out=w_out, c_out=c_out, co_tile=co_tile)
+        w_out=w_out, c_out=c_out, co_tile=co_tile, pre=has_pre,
+        want_stats=want_stats, slope=slope)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    args = (x, w, b)
+    if has_pre:
+        in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM),
+                     pl.BlockSpec(memory_space=pltpu.VMEM)]
+        args += (sa, ta)
+    out_shape = jax.ShapeDtypeStruct((n_b, n_z, h, w_out, c_out), x.dtype)
+    out_specs = pl.BlockSpec(memory_space=pltpu.ANY)
+    if want_stats:
+        out_shape = (out_shape, jax.ShapeDtypeStruct(
+            (n_b * n_z, 16, c_out), jnp.float32))
+        out_specs = (out_specs, pl.BlockSpec(memory_space=pltpu.VMEM))
     return pl.pallas_call(
-        kern,
-        out_shape=jax.ShapeDtypeStruct((n_b, n_z, h, w_out, c_out),
-                                       x.dtype),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        interpret=interpret,
-    )(x, w, b)
+        kern, out_shape=out_shape, in_specs=in_specs,
+        out_specs=out_specs, interpret=interpret)(*args)
 
 
-def pconv3_valid(x, w, b=None, *, w_out=None, interpret=None):
+def pconv3_valid(x, w, b=None, *, w_out=None, interpret=None, pre=None,
+                 want_stats=False):
     """Offset-packed x (B, D, hp, wp8, 4Ci) (wp8 % 8 == 0, pad columns
     zero/ignored), packed weights w (3, 2, 2, 4Ci, Co) from
     pack_conv_weights of a (3,3,3) kernel -> aligned
     (B, D, hp-1, w_out, Co), z-SAME, bias folded. Equals
     conv_packed(x_true, w, b, hw_pad="valid") on the true wp = w_out + 1
-    columns. Returns None when the shape isn't covered."""
+    columns. Returns None when the shape isn't covered.
+
+    pre=(sa, ta, slope) / want_stats: the deferred-norm contract (see
+    pconv_valid) — sa/ta here are per-BATCH (B, 8, 4Ci), since instance
+    norm spans the z axis this kernel keeps explicit; stats come back per
+    (b, z) image as (B*D, 16, Co)."""
     n_b, n_z, hp, wp8, c_in = x.shape
     c_out = w.shape[-1]
     if w_out is None:
@@ -791,7 +1136,10 @@ def pconv3_valid(x, w, b=None, *, w_out=None, interpret=None):
         wts = 12 * c_in * c_out * itemsize
         acc = bi * w_out * co_tile * 4
         ybuf = 2 * bi * w_out * c_out * itemsize
-        return slabs + wts + acc + ybuf < _VMEM_BUDGET
+        stats = (n_b * n_z * 16 * c_out * 4) if want_stats else 0
+        return slabs + wts + acc + ybuf + stats < (
+            _FUSED_VMEM_BUDGET if (pre is not None or want_stats)
+            else _VMEM_BUDGET)
 
     pick = None
     for bi in (16, 8, 4, 2):
@@ -809,6 +1157,16 @@ def pconv3_valid(x, w, b=None, *, w_out=None, interpret=None):
         interpret = jax.default_backend() != "tpu"
     bias = (jnp.zeros((1, 1, c_out), x.dtype) if b is None
             else jnp.asarray(b, x.dtype).reshape(1, 1, -1))
-    return _valid3_call(x, jnp.asarray(w, x.dtype), bias, w_out=w_out,
-                        bi=pick[0], co_tile=pick[1],
-                        interpret=bool(interpret))
+    if pre is not None:
+        sa, ta, slope = pre
+        sa = jnp.asarray(sa, x.dtype)
+        ta = jnp.asarray(ta, x.dtype)
+        has_pre = True
+    else:
+        sa = ta = jnp.zeros((1, 8, c_in), x.dtype)
+        slope = 0.0
+        has_pre = False
+    return _valid3_call(x, jnp.asarray(w, x.dtype), bias, sa, ta,
+                        w_out=w_out, bi=pick[0], co_tile=pick[1],
+                        interpret=bool(interpret), want_stats=want_stats,
+                        slope=float(slope), has_pre=has_pre)
