@@ -45,6 +45,8 @@ from ..ops.pack2d import (
     pack_conv_weights_cell4z2, conv_packed_s2_cell4z2, unpack_cell4z2,
     pack_bias_cell4z2,
     fused_upsample_conv1,
+    norm_scale_shift_from_stats, offset_stats_xla, aligned_stats_xla,
+    apply_norm_act_packed,
 )
 
 
@@ -122,6 +124,48 @@ def _round8(v):
     return -(-v // 8) * 8
 
 
+class _Deferred:
+    """A conv output whose instance norm is DEFERRED (pallas_conv=
+    "fused"): `y` is the raw offset-parity tensor (rim zeroed when a
+    Pallas kernel produced it, garbage when XLA did — consumers mask
+    either way), and `leaky(y*sa + ta) * rim_mask` is the finalized
+    activation. The next conv in the stage applies that transform on its
+    VMEM slabs (ops/pallas_pconv.py `pre=`), so the normalize pass's
+    HBM read+write never happens; `materialize()` is the one-pass XLA
+    fallback for consumers that aren't fused kernels."""
+
+    def __init__(self, y, sa, ta, slope, true_w):
+        self.y = y
+        self.sa = sa
+        self.ta = ta
+        self.slope = slope
+        self.true_w = true_w
+
+    def materialize(self):
+        return apply_norm_act_packed(self.y, self.sa, self.ta, self.slope,
+                                     offset_parity=True,
+                                     true_w=self.true_w)
+
+
+def _fused_consumable(feats, out_tw, kd):
+    """Will the NEXT conv of this stage (same kernel size and feats) be a
+    covered fused VALID consumer of a widened offset tensor? Gates the
+    widened emission + deferral: emitting 8-aligned widths from XLA convs
+    costs a little extra right-pad, so only pay it when the consumer can
+    fuse (shape checks mirror pconv_valid/pconv3_valid coverage)."""
+    return (feats * 4) % 128 == 0 and (out_tw - 1) % 8 == 0 and kd in (1, 3)
+
+
+def _defer_offset(y, stats, scale, nbias, eps, slope, true_w):
+    """Build a _Deferred from an offset conv output + moment partials."""
+    bsz, d, hp = y.shape[0], y.shape[1], y.shape[2]
+    count = d * (hp - 1) * ((true_w if true_w is not None
+                             else y.shape[3]) - 1)
+    sa, ta = norm_scale_shift_from_stats(stats, bsz, d, count, scale,
+                                         nbias, eps, y.dtype)
+    return _Deferred(y, sa, ta, slope, true_w)
+
+
 def _conv_norm_act(x, layout, cp, kernel, stride, feats, a, *,
                    pack_max_channels, want_out="a", in_splits=None,
                    tw=None, pallas=False):
@@ -143,20 +187,29 @@ def _conv_norm_act(x, layout, cp, kernel, stride, feats, a, *,
     pallas: route packed convs through ops.pallas_pconv (offset tensors
     then live at 8-aligned widths). True = every covered stride-1 class
     (a measured engine-level NEGATIVE, kept for the A/B harness);
-    "cat" = only the fused decoder-concat site (pconv_pad11_cat), the
-    measured-positive production configuration.
+    "cat" = only the fused decoder-concat site (pconv_pad11_cat);
+    "fused" = "cat" PLUS deferred instance norm: offset conv outputs
+    come back as _Deferred (stats from the kernel or one XLA masked
+    reduce), the consuming Pallas VALID conv applies
+    rim_mask*leaky(x*sa+ta) on its VMEM slabs (no normalize pass in
+    HBM), and aligned outputs finalize from kernel stats in ONE apply
+    pass instead of stats-reads + apply.
+
+    x may also be a _Deferred from a previous fused call.
     """
     from ..ops.pallas_pconv import (pconv_valid, pconv_pad11, pconv3_valid,
                                     pconv_pad11_cat)
 
     pallas_all = pallas is True
+    pallas_fused = pallas == "fused"
     pallas_cat = bool(pallas)
 
     pair = isinstance(x, (tuple, list))
     if pair and (layout != "a" or len(x) != 2 or not pallas_cat):
         x = jnp.concatenate(list(x), axis=-1)
         pair = False
-    x0 = x[0] if pair else x
+    deferred = isinstance(x, _Deferred)
+    x0 = x.y if deferred else (x[0] if pair else x)
 
     w = cp["conv"]["kernel"]
     b = cp["conv"].get("bias")
@@ -183,9 +236,20 @@ def _conv_norm_act(x, layout, cp, kernel, stride, feats, a, *,
     strided_packable = (strided and layout in ("a", "o")
                         and kernel[1] == 3 and kernel[2] == 3)
 
-    if packed_stride_ok and (strided_packable
-                             or _packable(kernel, h, wd, feats,
-                                          pack_max_channels)):
+    take_packed = packed_stride_ok and (
+        strided_packable or _packable(kernel, h, wd, feats,
+                                      pack_max_channels))
+
+    # a deferred input is only consumable by the fused offset->aligned
+    # Pallas convs below; every other path materializes it first (one
+    # XLA apply pass — exactly the normalize pass the classic mode runs)
+    if deferred and not (pallas_fused and take_packed and not strided
+                         and layout == "o"):
+        x = x.materialize()
+        x0 = x
+        deferred = False
+
+    if take_packed:
         if strided and layout != "u":
             if pair:
                 x = jnp.concatenate(list(x), axis=-1)
@@ -207,14 +271,20 @@ def _conv_norm_act(x, layout, cp, kernel, stride, feats, a, *,
         if not strided:
             kd = int(kernel[0])
             out_tw = None
+            out_stats = None      # Pallas-emitted moment partials
+            defer_out = False     # fused: return the offset raw + sa/ta
             if layout == "u":
                 w4 = pack_conv_weights_from_unpacked(w)
                 out = want_out
-                if out == "o" and pallas_all:
+                fuse_emit = (pallas_fused and out == "o"
+                             and _fused_consumable(
+                                 feats, x.shape[3] // 2 + 1, kd))
+                if out == "o" and (pallas_all or fuse_emit):
                     out_tw = x.shape[3] // 2 + 1
                     y = conv_packing(x, w4, pack_bias(b) if b is not None
                                      else None, offset_out=True,
                                      out_w=_round8(out_tw))
+                    defer_out = fuse_emit
                 else:
                     y = conv_packing(x, w4, pack_bias(b) if b is not None
                                      else None,
@@ -224,13 +294,21 @@ def _conv_norm_act(x, layout, cp, kernel, stride, feats, a, *,
                 pb = pack_bias(b) if b is not None else None
                 out = "o"
                 out_tw = x0.shape[3] + 1
+                fuse_emit = (pallas_fused
+                             and _fused_consumable(feats, out_tw, kd))
                 y = None
                 if pair and kd == 1:
                     bsz, d = x0.shape[0], x0.shape[1]
-                    y4 = pconv_pad11_cat(
+                    r = pconv_pad11_cat(
                         x[0].reshape(bsz * d, *x[0].shape[2:]),
-                        x[1].reshape(bsz * d, *x[1].shape[2:]), wp[0], pb)
-                    if y4 is not None:
+                        x[1].reshape(bsz * d, *x[1].shape[2:]), wp[0], pb,
+                        want_stats=fuse_emit)
+                    if r is not None:
+                        if fuse_emit:
+                            y4, out_stats = r
+                            defer_out = True
+                        else:
+                            y4 = r
                         y = y4.reshape(bsz, d, *y4.shape[1:])
                 if y is None and pair:
                     x = jnp.concatenate(list(x), axis=-1)
@@ -241,12 +319,14 @@ def _conv_norm_act(x, layout, cp, kernel, stride, feats, a, *,
                         x.reshape(bsz * d, *x.shape[2:]), wp[0], pb)
                     if y4 is not None:
                         y = y4.reshape(bsz, d, *y4.shape[1:])
-                if y is None and pallas_all:
+                if y is None and (pallas_all or fuse_emit):
                     # kd==3 (or uncovered): XLA conv emitting the widened
                     # layout directly; pad columns hold the bias and the
-                    # rim mask below zeroes them
+                    # rim mask (downstream, or the fused consumer's
+                    # in-kernel mask) zeroes them
                     y = conv_packed(x, wp, pb, hw_pad="pad11",
                                     out_w=_round8(out_tw))
+                    defer_out = fuse_emit
                 elif y is None:
                     y = conv_packed(x, wp, pb, hw_pad="pad11")
                     out_tw = None
@@ -255,7 +335,33 @@ def _conv_norm_act(x, layout, cp, kernel, stride, feats, a, *,
                 pb = pack_bias(b) if b is not None else None
                 out = "a"
                 y = None
-                if pallas_all and otw is not None and (otw - 1) % 8 == 0:
+                if deferred and otw is not None and (otw - 1) % 8 == 0:
+                    # fused consumer: normalize rides the kernel's slab
+                    # loads, and the aligned output's moments come back
+                    # for a one-pass finalize below
+                    pre = (x.sa, x.ta, x.slope)
+                    if kd == 1:
+                        bsz, d = x0.shape[0], x0.shape[1]
+                        r = pconv_valid(
+                            x0.reshape(bsz * d, *x0.shape[2:]), wp[0], pb,
+                            w_out=otw - 1, pre=pre, want_stats=True)
+                        if r is not None:
+                            y4, out_stats = r
+                            y = y4.reshape(bsz, d, *y4.shape[1:])
+                    elif kd == 3:
+                        d = x0.shape[1]
+                        r = pconv3_valid(
+                            x0, wp, pb, w_out=otw - 1,
+                            pre=(x.sa[::d], x.ta[::d], x.slope),
+                            want_stats=True)
+                        if r is not None:
+                            y, out_stats = r
+                    if y is None:      # uncovered: fall back whole
+                        x = x.materialize()
+                        x0 = x
+                        deferred = False
+                if y is None and pallas_all and otw is not None \
+                        and (otw - 1) % 8 == 0:
                     if kd == 1:
                         bsz, d = x.shape[0], x.shape[1]
                         y4 = pconv_valid(
@@ -271,11 +377,24 @@ def _conv_norm_act(x, layout, cp, kernel, stride, feats, a, *,
                     # vs exact width; a strip copy costs ~1.4 ms)
                     y = conv_packed(x, wp, pb, in_w=otw)
             if out == "o":
+                if defer_out:
+                    if out_stats is None:
+                        out_stats = offset_stats_xla(y, true_w=out_tw)
+                    return (_defer_offset(y, out_stats, scale, nbias, eps,
+                                          slope, out_tw), out, out_tw)
                 y = _mask_offset(y, feats, tw=out_tw)
                 y = instance_norm_packed(y, scale, nbias, eps,
                                          offset_parity=True,
                                          true_w=out_tw)
                 y = _mask_offset(_leaky(y, slope), feats, tw=out_tw)
+            elif out_stats is not None:
+                # fused aligned finalize: ONE apply pass from kernel
+                # moments (vs stats-reads + apply in the classic path)
+                bsz, d, hh, ww = y.shape[:4]
+                sa, ta = norm_scale_shift_from_stats(
+                    out_stats, bsz, d, d * hh * ww, scale, nbias, eps,
+                    y.dtype)
+                y = apply_norm_act_packed(y, sa, ta, slope)
             else:
                 y = _leaky(instance_norm_packed(y, scale, nbias, eps),
                            slope)
@@ -394,6 +513,8 @@ def segmodel_apply_packed(arch: dict, params, x, *, num_classes: int = 2,
                     pack_max_channels=pack_max_channels, want_out=want,
                     tw=tw, pallas=pallas_conv)
             out_layout, out_tw = lay, tw
+            if isinstance(y, _Deferred):   # stage must end finalized
+                y = y.materialize()
             return y
 
         cur = _ckpt("enc", s)(enc_stage)(cur, penc[f"stage_{s}"])
@@ -466,6 +587,8 @@ def segmodel_apply_packed(arch: dict, params, x, *, num_classes: int = 2,
                         _out_ch, a, pack_max_channels=pack_max_channels,
                         want_out="a", tw=tw, pallas=pallas_conv)
             out_layout, out_tw = lay, tw
+            if isinstance(y, _Deferred):   # stage must end finalized
+                y = y.materialize()
             return y
 
         cur = _ckpt("dec", s)(dec_stage)(lres, skip,

@@ -358,6 +358,108 @@ def test_packed_pallas_cat_plane_out(rng):
         rtol=2e-4, atol=2e-4)
 
 
+def _fused_spies(pp, engaged):
+    orig = (pp.pconv_pad11_cat, pp.pconv_valid, pp.pconv3_valid)
+
+    def spy_cat(*a, **k):
+        r = orig[0](*a, **k)
+        engaged["cat"] += r is not None and k.get("want_stats", False)
+        return r
+
+    def spy_v(*a, **k):
+        r = orig[1](*a, **k)
+        engaged["valid"] += r is not None and k.get("pre") is not None
+        return r
+
+    def spy_v3(*a, **k):
+        r = orig[2](*a, **k)
+        engaged["valid3"] += r is not None and k.get("pre") is not None
+        return r
+
+    pp.pconv_pad11_cat, pp.pconv_valid, pp.pconv3_valid = \
+        spy_cat, spy_v, spy_v3
+    return orig
+
+
+def test_packed_pallas_fused_matches_reference(rng):
+    """pallas_conv="fused" — deferred instance norm riding the Pallas
+    conv chain (producers emit moment stats + in-kernel rim mask, the
+    consuming VALID conv applies leaky(x*sa+ta)*mask on its VMEM slabs,
+    aligned outputs finalize from kernel stats in one pass). Must equal
+    SegModel.apply, with the cat producer AND fused valid consumers
+    actually engaging (spied — a silent fallback cannot fake a pass)."""
+    import rehrseg_tpu.ops.pallas_pconv as pp
+
+    arch = dict(ARCH_SMALL, features_per_stage=(32, 32, 32, 32))
+    model, params, x = _setup(arch, rng)
+    ref_lr, ref_hr = model.apply(params, x)
+
+    engaged = {"cat": 0, "valid": 0, "valid3": 0}
+    orig = _fused_spies(pp, engaged)
+    try:
+        got_lr, got_hr = segmodel_apply_packed(
+            arch, params, x, pack_max_channels=64, dual=True, upscale=4,
+            pallas_conv="fused")
+    finally:
+        pp.pconv_pad11_cat, pp.pconv_valid, pp.pconv3_valid = orig
+    assert engaged["cat"] >= 1, engaged
+    assert engaged["valid"] >= 2, engaged   # enc s0 conv_1 + dec conv_1
+    np.testing.assert_allclose(np.asarray(got_lr), np.asarray(ref_lr),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_hr), np.asarray(ref_hr),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_packed_pallas_fused_kd3_matches_reference(rng):
+    """Fused mode through the kd=3 class (pconv3_valid with deferred
+    norm): 64-feature stages at an 8-aligned half-res width."""
+    import rehrseg_tpu.ops.pallas_pconv as pp
+
+    arch = dict(ARCH_SMALL, features_per_stage=(32, 64, 64, 64))
+    model, params, x = _setup(arch, rng, shape=(2, 8, 32, 64, 1))
+    ref_lr, ref_hr = model.apply(params, x)
+
+    engaged = {"cat": 0, "valid": 0, "valid3": 0}
+    orig = _fused_spies(pp, engaged)
+    try:
+        got_lr, got_hr = segmodel_apply_packed(
+            arch, params, x, pack_max_channels=64, dual=True, upscale=4,
+            pallas_conv="fused")
+    finally:
+        pp.pconv_pad11_cat, pp.pconv_valid, pp.pconv3_valid = orig
+    assert engaged["valid3"] >= 1, engaged
+    np.testing.assert_allclose(np.asarray(got_lr), np.asarray(ref_lr),
+                               rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(got_hr), np.asarray(ref_hr),
+                               rtol=5e-4, atol=5e-4)
+
+
+def test_packed_pallas_fused_uncovered_arch_falls_back(rng):
+    """At channel counts no kernel covers (8/16 features), "fused" must
+    agree with the plain packed path (deferral materializes via the same
+    instance-norm math — tolerance only for fp reassociation)."""
+    model, params, x = _setup(ARCH_SMALL, rng)
+    base = segmodel_apply_packed(ARCH_SMALL, params, x,
+                                 pack_max_channels=64)
+    fused = segmodel_apply_packed(ARCH_SMALL, params, x,
+                                  pack_max_channels=64,
+                                  pallas_conv="fused")
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(base),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_packed_pallas_fused_plane_out(rng):
+    """fused mode + plane_out (the aligned-engine emission)."""
+    arch = dict(ARCH_SMALL, features_per_stage=(32, 32, 32, 32))
+    model, params, x = _setup(arch, rng)
+    base = segmodel_apply_packed(arch, params, x, pack_max_channels=64)
+    planes = segmodel_apply_packed(arch, params, x, pack_max_channels=64,
+                                   plane_out=True, pallas_conv="fused")
+    np.testing.assert_allclose(
+        np.asarray(planes), np.asarray(jnp.moveaxis(base, -1, 1)),
+        rtol=2e-4, atol=2e-4)
+
+
 def test_packed_pallas_conv_plane_out(rng):
     """pallas_conv + plane_out (the aligned-engine emission): per-class
     planes equal the channel-last logits."""
