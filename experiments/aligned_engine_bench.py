@@ -66,6 +66,11 @@ def lr_fn_planes_cat(p, b):
                                  plane_out=True, pallas_conv="cat")
 
 
+def lr_fn_planes_fused(p, b):
+    return segmodel_apply_packed(arch, p, b, pack_max_channels=64,
+                                 plane_out=True, pallas_conv="fused")
+
+
 def dual_fn(p, b):
     return segmodel_apply_packed(arch, p, b, pack_max_channels=64,
                                  dual=True, upscale=SEP)
@@ -80,6 +85,12 @@ def dual_fn_planes_cat(p, b):
     return segmodel_apply_packed(arch, p, b, pack_max_channels=64,
                                  dual=True, upscale=SEP, plane_out=True,
                                  pallas_conv="cat")
+
+
+def dual_fn_planes_fused(p, b):
+    return segmodel_apply_packed(arch, p, b, pack_max_channels=64,
+                                 dual=True, upscale=SEP, plane_out=True,
+                                 pallas_conv="fused")
 
 
 def timed(name, fn, vox, reps=3):
@@ -196,6 +207,18 @@ def run_dual_aligned_cat():
     return float(consume2(a, b))
 
 
+def run_aligned_fused():
+    lg = _sliding_window_scan_aligned(
+        lr_fn_planes_fused, params, dev_al, starts_al_d, g_dev, PATCH,
+        tuple(volp_al.shape[:3]), 1, 2, False)
+    return float(consume0(lg))
+
+
+def run_dual_aligned_fused():
+    a, b = _dual_aligned(dev_al, starts_al_d, fn=dual_fn_planes_fused)
+    return float(consume2(a, b))
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     vox_dual = voxels * (1 + SEP)
@@ -208,6 +231,19 @@ if __name__ == "__main__":
         t_dc = timed("dual aligned + cat       ", run_dual_aligned_cat,
                      vox_dual)
         print(f"cat-conv dual speedup: {t_da / t_dc:.3f}x")
+        sys.exit(0)
+    if which == "fused":
+        # round-5 deferred-norm A/B: the adopted "cat" engine vs "fused"
+        # (cat + deferred instance norm riding the Pallas conv slab loads
+        # + one-pass aligned finalize from kernel moments)
+        t_ac = timed("aligned + cat kernel     ", run_aligned_cat, voxels)
+        t_af = timed("aligned + fused norms    ", run_aligned_fused, voxels)
+        print(f"fused-norm LR speedup: {t_ac / t_af:.3f}x")
+        t_dc = timed("dual aligned + cat       ", run_dual_aligned_cat,
+                     vox_dual)
+        t_df = timed("dual aligned + fused     ", run_dual_aligned_fused,
+                     vox_dual)
+        print(f"fused-norm dual speedup: {t_dc / t_df:.3f}x")
         sys.exit(0)
     t_par = timed("parity grid + XLA tail  ", run_parity, voxels)
     t_al = timed("aligned grid + Pallas    ", run_aligned, voxels)

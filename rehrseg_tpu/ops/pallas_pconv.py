@@ -238,10 +238,7 @@ def _valid_fused_kernel(x_hbm, w_ref, b_ref, *rest, n_imgs, bi, n_blocks,
             ybuf[slot] = ybf
             out_dma(slot, blk).start()
             if want_stats:
-                y32 = ybf.astype(jnp.float32)
-                st = jnp.concatenate(
-                    [_fold8(y32.sum(axis=1), bi),
-                     _fold8((y32 * y32).sum(axis=1), bi)], axis=0)
+                st = _stats16(ybf.astype(jnp.float32))
 
                 @pl.when(i == 0)
                 def _():
@@ -600,12 +597,29 @@ def pconv_pad11(x, w, b=None, *, interpret=None):
 
 # ----------------------------------------------------------- PAD11 + CAT
 
-def _fold8(t, rows):
-    """(rows, c) fp32 -> (8, c) sublane partials (rows static)."""
-    if rows >= 8:
-        return t.reshape(rows // 8, 8, t.shape[-1]).sum(0)
-    return jnp.concatenate(
-        [t, jnp.zeros((8 - rows, t.shape[-1]), t.dtype)], axis=0)
+def _stats16(y32):
+    """(rows, width, c) fp32 -> (16, c) moment partials: rows 0:8 hold
+    sum partials, 8:16 sum-of-squares (consumers sum each half — see
+    pack2d.norm_scale_shift_from_stats).
+
+    Layout-constrained on purpose: reduce axis 0 FIRST (the untiled
+    vreg-batch axis — plain vector adds), then fold the width axis by
+    whole 8-sublane tile groups. The obvious `y32.sum(axis=1)` reduces
+    the SUBLANE axis of the (8, 128) tiles and real Mosaic rejects the
+    resulting replicated-sublane layout ("Invalid relayout:
+    non-singleton logical dimension is replicated in destination but
+    not in source", v5e) even though interpret mode accepts it.
+    Requires width % 8 == 0 (every caller's coverage check guarantees
+    it)."""
+    c = y32.shape[-1]
+    width = y32.shape[1]
+
+    def fold(t):  # (width, c) -> (8, c)
+        return t.reshape(width // 8, 8, c).sum(0)
+
+    s = y32.sum(axis=0)
+    q = (y32 * y32).sum(axis=0)
+    return jnp.concatenate([fold(s), fold(q)], axis=0)
 
 
 def _offset_mask(r0, rows, hp, tw, wp8, c_out, dtype=jnp.float32):
@@ -766,10 +780,7 @@ def _pad11_cat_kernel(xa_hbm, xb_hbm, w_ref, b_ref, o_hbm, *maybe_stats,
             ybuf[slot] = ybf
             out_dma(slot, blk).start()
             if fused:
-                y32 = ybf.astype(jnp.float32)
-                st = jnp.concatenate(
-                    [_fold8(y32.sum(axis=1), bi),
-                     _fold8((y32 * y32).sum(axis=1), bi)], axis=0)
+                st = _stats16(ybf.astype(jnp.float32))
 
                 @pl.when(i == 0)
                 def _():
@@ -823,10 +834,7 @@ def _pad11_cat_kernel(xa_hbm, xb_hbm, w_ref, b_ref, o_hbm, *maybe_stats,
             ybf = yb.astype(tout.dtype)
             tout[:, :, :] = ybf
             if fused:
-                y32 = ybf.astype(jnp.float32)
-                st = jnp.concatenate(
-                    [_fold8(y32.sum(axis=1), 1),
-                     _fold8((y32 * y32).sum(axis=1), 1)], axis=0)
+                st = _stats16(ybf.astype(jnp.float32))
                 stats_ref[pl.ds(n, 1)] = stats_ref[pl.ds(n, 1)] + st[None]
             cp_out = pltpu.make_async_copy(
                 tout, o_hbm.at[n, pl.ds(h, 1)], t_sem.at[0])
@@ -1036,10 +1044,7 @@ def _valid3_kernel(x_hbm, w_ref, b_ref, *rest, n_b, n_z, bi, n_blocks,
                     ybf = y.astype(ybuf.dtype)
                     ybuf[z % 2, :, :, ct * co_tile:(ct + 1) * co_tile] = ybf
                     if want_stats:
-                        y32 = ybf.astype(jnp.float32)
-                        st = jnp.concatenate(
-                            [_fold8(y32.sum(axis=1), bi),
-                             _fold8((y32 * y32).sum(axis=1), bi)], axis=0)
+                        st = _stats16(ybf.astype(jnp.float32))
                         img = b * n_z + z
                         lo, hi = ct * co_tile, (ct + 1) * co_tile
 
